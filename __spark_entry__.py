@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship nous-style recall query (neighborhood
+expansion over the TPC-H-derived knowledge graph) at sf0.001.
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+from SURVEY.md §2, checked against DuckDB at sf0.01.
+
+Column-name contract: every computed column is aliased identically in
+the Spark code and the oracle SQL.
 """
 
 from __future__ import annotations
@@ -12,27 +14,424 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nous_spark.graph import entity_facts, fact_refcounts, find_entity_by_identifier
+from nous_spark.operators.dedup import (
+    exact_dedup,
+    minhash_near_dups,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+from nous_spark.operators.similarity import cosine_scores, lsh_ann_topk
+from nous_spark.operators.text import lang_id_udf, quality_columns, token_count_col
+from nous_spark.operators.tpch_graph import EDGES_SQL, tpch_edges, tpch_facts
 
 
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship query at sf0.001
+# ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Memory-recall lookup (SURVEY.md §3.2) over the TPC-H-derived graph:
+    identifier -> entity -> all facts, predicate-filterable."""
+    sf_dir = "/root/testdata/sf0.001"
+    edges = tpch_edges(spark, sf_dir)
+    facts = tpch_facts(spark, sf_dir)
+    e = find_entity_by_identifier(edges, "username", "Customer#000000001")
+    return entity_facts(edges, facts, e)
+
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
+def _q_kg_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = tpch_edges(spark, sf_dir)
+    facts = tpch_facts(spark, sf_dir)
+    e = find_entity_by_identifier(edges, "username", "Customer#000000001")
+    return entity_facts(edges, facts, e).select(
+        "entity_id", "pred", "fact_id", "name", "fact_type"
+    )
+
+
+def _q_kg_refcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fact_refcounts(tpch_edges(spark, sf_dir))
+
+
+def _q_kg_traversal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate-filtered 2-hop traversal: entities in Segment:BUILDING ->
+    their lives_in facts (the north_star's self-join recall shape)."""
+    edges = tpch_edges(spark, sf_dir)
+    seg = (
+        edges.filter((F.col("edge_type") == "HAS_FACT") & (F.col("dst") == "Segment:BUILDING"))
+        .select(F.col("src").alias("entity_id"))
+    )
+    lives = edges.filter(
+        (F.col("edge_type") == "HAS_FACT") & (F.col("pred") == "lives_in")
+    ).select(F.col("src").alias("entity_id"), F.col("dst").alias("fact_id"))
+    return seg.join(lives, "entity_id").select("entity_id", "fact_id")
+
+
+def _q_ranked_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 ranked-preference pick: each customer's most recent order."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("latest_orderkey"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+        )
+    )
+
+
+def _q_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+def _q_top_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+def _q_totals_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    filtered = ev.filter(
+        (F.col("ts") >= F.lit("2024-01-02").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-05").cast("timestamp"))
+        & (F.col("event_type") == "purchase")
+    )
+    return filtered.agg(
+        F.coalesce(F.round(F.sum("value"), 2), F.lit(0.0)).alias("total_value"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def _q_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.desc("ts"), F.desc("event_id"))
+        .select("event_id", "event_type", F.round("value", 2).alias("value_r"))
+        .offset(10)
+        .limit(20)
+    )
+
+
+def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1-style join chain with broadcast dims: revenue by EUROPE nation."""
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    orders = _t(spark, sf_dir, "orders")
+    dims = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+        nation.n_regionkey == region.r_regionkey,
+    )
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(dims), customer.c_nationkey == dims.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+def _q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    o95 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    return customer.join(
+        o95, customer.c_custkey == o95.o_custkey, "left_semi"
+    ).select("c_custkey")
+
+
+def _q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+
+
+def _q_left_outer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+def _q_collect_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 collect(DISTINCT ...) analog, string-serialized for oracle parity."""
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_set("c_mktsegment"))).alias(
+                "segments"
+            ),
+            F.countDistinct("c_custkey").alias("n_customers"),
+        )
+    )
+
+
+def _q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def _q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_columns(F.col("text"))
+    return docs.select(
+        "doc_id",
+        token_count_col(F.col("text")).alias("n_tokens"),
+        q["avg_word_len"].alias("avg_word_len"),
+        q["punct_ratio"].alias("punct_ratio"),
+        q["stop_the_ratio"].alias("stop_the_ratio"),
+    )
+
+
+def _q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    scored = cosine_scores(emb, [float(x) for x in qvec])
+    return scored.select("vec_id", F.round("score", 4).alias("score")).filter(
+        F.col("score") >= 0.3
+    )
+
+
+# ----------------------------- non-SQL-expressible (rows-only check) -------
+def _q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_near_dups(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def _q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_near_dups(_t(spark, sf_dir, "documents"), max_hamming=8)
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), k=3, threshold=0.3)
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("lang_pred", lang_id_udf(F.col("text")))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return lsh_ann_topk(emb, [float(x) for x in qvec], k=10, n_planes=8)
+
+
+def _q_kg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real extraction pipeline on deterministic synthetic pages:
+    pages -> text -> mentions/triples -> linked (subj, pred, obj)."""
+    from nous_spark.datagen import generate_pages
+    from nous_spark.pipeline import stage_extract, stage_link, stage_mentions
+
+    pages = generate_pages(spark, 1000, seed=42)
+    docs = stage_extract(pages)
+    mentions = stage_mentions(docs)
+    mapping = mentions.select(
+        F.col("anchor_id"), F.col("anchor_id").alias("entity_id")
+    ).dropDuplicates(["anchor_id"])
+    linked = stage_link(docs, mentions, mapping)
+    return linked.select("entity_id", "pred", "fact_id", "confidence", "source_url")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "kg_recall_lookup": _q_kg_recall,
+        "kg_fact_refcount": _q_kg_refcount,
+        "kg_predicate_traversal": _q_kg_traversal,
+        "ranked_pick_latest_order": _q_ranked_pick,
+        "usage_daily_rollup": _q_daily_rollup,
+        "usage_top_event_types": _q_top_event_types,
+        "usage_totals_coalesce": _q_totals_coalesce,
+        "usage_pagination": _q_pagination,
+        "tpch_q1_pricing_summary": _q_tpch_q1,
+        "region_revenue": _q_region_revenue,
+        "customers_with_1995_orders": _q_semi_join,
+        "customers_without_orders": _q_anti_join,
+        "customer_order_counts": _q_left_outer_counts,
+        "nation_segment_collect": _q_collect_distinct,
+        "doc_exact_dedup": _q_doc_exact_dedup,
+        "doc_token_stats": _q_doc_token_stats,
+        "ann_cosine_scores": _q_ann_cosine,
+        # rows-only (non-SQL-expressible: seeded sketches / UDF heuristics)
+        "doc_minhash_near_dups": _q_minhash_near_dups,
+        "doc_simhash_near_dups": _q_simhash_near_dups,
+        "doc_ngram_jaccard": _q_ngram_jaccard,
+        "doc_lang_id_confusion": _q_lang_id,
+        "ann_lsh_topk": _q_ann_lsh,
+        "kg_pipeline_triples": _q_kg_pipeline,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    edges_cte = f"WITH edges AS ({EDGES_SQL})"
+    return {
+        "kg_recall_lookup": f"""
+            {edges_cte}
+            SELECT e.src AS entity_id, hf.pred AS pred, hf.dst AS fact_id,
+                   substr(hf.dst, instr(hf.dst, ':') + 1) AS name,
+                   CASE WHEN hf.dst LIKE 'Nation:%' THEN 'Nation' ELSE 'Segment' END AS fact_type
+            FROM edges e
+            JOIN edges hf ON hf.src = e.src AND hf.edge_type = 'HAS_FACT'
+            WHERE e.edge_type = 'HAS_IDENTIFIER'
+              AND e.dst = 'username:Customer#000000001'
+        """,
+        "kg_fact_refcount": f"""
+            {edges_cte}
+            SELECT dst AS fact_id, count(DISTINCT src) AS n_entities
+            FROM edges WHERE edge_type = 'HAS_FACT' GROUP BY dst
+        """,
+        "kg_predicate_traversal": f"""
+            {edges_cte}
+            SELECT seg.src AS entity_id, lives.dst AS fact_id
+            FROM edges seg JOIN edges lives ON lives.src = seg.src
+            WHERE seg.edge_type = 'HAS_FACT' AND seg.dst = 'Segment:BUILDING'
+              AND lives.edge_type = 'HAS_FACT' AND lives.pred = 'lives_in'
+        """,
+        "ranked_pick_latest_order": """
+            SELECT o_custkey AS custkey, o_orderkey AS latest_orderkey,
+                   round(o_totalprice, 2) AS totalprice
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC
+              ) AS rn FROM orders
+            ) WHERE rn = 1
+        """,
+        "usage_daily_rollup": """
+            SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                   count(*) AS n_events, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1
+        """,
+        "usage_top_event_types": """
+            SELECT event_type, count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value,
+                   round(avg(value), 4) AS avg_value
+            FROM events GROUP BY event_type
+        """,
+        "usage_totals_coalesce": """
+            SELECT coalesce(round(sum(value), 2), 0.0) AS total_value,
+                   count(*) AS n_events
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-02' AND ts < TIMESTAMP '2024-01-05'
+              AND event_type = 'purchase'
+        """,
+        "usage_pagination": """
+            SELECT event_id, event_type, round(value, 2) AS value_r
+            FROM events ORDER BY ts DESC, event_id DESC LIMIT 20 OFFSET 10
+        """,
+        "tpch_q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "region_revenue": """
+            SELECT n_name, round(sum(o_totalprice), 2) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+            GROUP BY n_name
+        """,
+        "customers_with_1995_orders": """
+            SELECT c_custkey FROM customer
+            WHERE EXISTS (
+              SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                AND o_orderdate >= TIMESTAMP '1995-01-01'
+                AND o_orderdate < TIMESTAMP '1996-01-01')
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "customer_order_counts": """
+            SELECT c_custkey, count(o_orderkey) AS n_orders
+            FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+            GROUP BY c_custkey
+        """,
+        "nation_segment_collect": """
+            SELECT n_name,
+                   array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
+                   count(DISTINCT c_custkey) AS n_customers
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "doc_exact_dedup": """
+            SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
+                   count(*) AS n_docs
+            FROM documents GROUP BY md5(text)
+        """,
+        "doc_token_stats": r"""
+            SELECT doc_id,
+                   length(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                   round(length(regexp_replace(text, '\s', '', 'g'))
+                         / length(regexp_split_to_array(trim(text), '\s+')), 4) AS avg_word_len,
+                   round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                         / length(text), 4) AS punct_ratio,
+                   round((length(regexp_split_to_array(' ' || text || ' ', '\s+the\s+')) - 1)
+                         / length(regexp_split_to_array(trim(text), '\s+')), 4) AS stop_the_ratio
+            FROM documents
+        """,
+        "ann_cosine_scores": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[], qv), 4) AS score
+            FROM embeddings, q
+            WHERE round(list_cosine_similarity(embedding::DOUBLE[], qv), 4) >= 0.3
+        """,
+    }

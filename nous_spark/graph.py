@@ -1,0 +1,301 @@
+"""Graph materialization + recall-query semantics over nodes/edges tables.
+
+Reproduces the reference's 4-node / 3-edge property graph
+(docs/graph_db_schema.md:7) and its query semantics as DataFrame ops:
+
+  * materialize_graph — pages-derived triples/mentions -> the five tables;
+  * idempotent_append — dedup + anti-join before every write (the batch
+    analog of MERGE find-or-create, age_repository.py:101-123,689-701);
+  * find_entity_by_identifier — the lookup Cypher (age_repository.py:206-221)
+    as anchor equi-join + two left joins;
+  * entity_facts / entity_sources — neighborhood expansion with optional
+    predicate filter (the north_star's "predicate-filtered traversal");
+  * primary_identifier — ranked pick (age_repository.py:380-414);
+  * fact_refcounts + delete_entity / remove_fact — refcounted cascade
+    GC (age_repository.py:471-664, 877-1009).
+
+Scale notes: joins to ``facts``/``identifiers`` dimension tables are
+broadcast; edge aggregations pre-aggregate map-side (partial agg is free
+via Catalyst); the hot-entity skew path is handled by the pipeline's
+salted repartition before the final edge dedup (pipeline.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from nous_spark.normalize import fact_id_col
+
+HAS_IDENTIFIER = "HAS_IDENTIFIER"
+HAS_FACT = "HAS_FACT"
+DERIVED_FROM = "DERIVED_FROM"
+
+
+# --------------------------------------------------------------------------
+# materialization
+# --------------------------------------------------------------------------
+def build_graph_tables(
+    linked_triples: DataFrame, linked_mentions: DataFrame
+) -> dict[str, DataFrame]:
+    """From linked triples/mentions, derive the five graph tables.
+
+    linked_triples: (entity_id, pred, fact_type, fact_name, fact_id,
+                     confidence, source_url, warc_ts, text?)
+    linked_mentions: (url, mention_rank, id_type, id_value, entity_id, warc_ts)
+    """
+    nodes = (
+        linked_mentions.groupBy("entity_id")
+        .agg(F.min("warc_ts").alias("created_at"))
+        .withColumn("metadata", F.lit(None).cast("map<string,string>"))
+    )
+
+    identifiers = linked_mentions.select(
+        F.col("id_value").alias("value"), "id_type"
+    ).dropDuplicates(["value", "id_type"])
+
+    facts = linked_triples.select(
+        "fact_id", F.col("fact_name").alias("name"), "fact_type"
+    ).dropDuplicates(["fact_id"])
+
+    sources = linked_triples.select(
+        F.col("source_url").alias("source_id"),
+        F.lit(None).cast("string").alias("content"),
+        F.col("warc_ts").alias("ts"),
+    ).dropDuplicates(["source_id"])
+
+    has_identifier = linked_mentions.select(
+        F.col("entity_id").alias("src"),
+        F.lit(HAS_IDENTIFIER).alias("edge_type"),
+        F.concat_ws(":", "id_type", "id_value").alias("dst"),
+        F.lit(None).cast("string").alias("pred"),
+        F.lit(None).cast("double").alias("confidence"),
+        (F.col("mention_rank") == 0).alias("is_primary"),
+        F.col("warc_ts").alias("created_at"),
+    ).dropDuplicates(["src", "dst"])
+
+    has_fact = linked_triples.select(
+        F.col("entity_id").alias("src"),
+        F.lit(HAS_FACT).alias("edge_type"),
+        F.col("fact_id").alias("dst"),
+        "pred",
+        "confidence",
+        F.lit(None).cast("boolean").alias("is_primary"),
+        F.col("warc_ts").alias("created_at"),
+    ).dropDuplicates(["src", "dst", "pred"])
+
+    derived_from = linked_triples.select(
+        F.col("fact_id").alias("src"),
+        F.lit(DERIVED_FROM).alias("edge_type"),
+        F.col("source_url").alias("dst"),
+        F.lit(None).cast("string").alias("pred"),
+        F.lit(None).cast("double").alias("confidence"),
+        F.lit(None).cast("boolean").alias("is_primary"),
+        F.col("warc_ts").alias("created_at"),
+    ).dropDuplicates(["src", "dst"])
+
+    edges = has_identifier.unionByName(has_fact).unionByName(derived_from)
+    return {
+        "nodes": nodes,
+        "identifiers": identifiers,
+        "facts": facts,
+        "sources": sources,
+        "edges": edges,
+    }
+
+
+def idempotent_append(new_rows: DataFrame, existing: DataFrame | None, keys: list[str]) -> DataFrame:
+    """Rows to append so that (existing ∪ result) has unique ``keys``.
+
+    The batch analog of the reference's MERGE/pre-insert existence check
+    (H1/H2): dedup within the batch, anti-join against what's already
+    written. Re-running a stage therefore appends nothing — this is what
+    makes checkpoint/resume exactly-once.
+    """
+    batch = new_rows.dropDuplicates(keys)
+    if existing is None:
+        return batch
+    return batch.join(existing.select(*keys).dropDuplicates(keys), keys, "left_anti")
+
+
+# --------------------------------------------------------------------------
+# recall queries (the reference's read path, §3.2)
+# --------------------------------------------------------------------------
+def find_entity_by_identifier(
+    edges: DataFrame,
+    id_type: str,
+    id_value: str,
+) -> DataFrame:
+    """identifier -> entity ids (Cypher C1: MATCH (e)-[:HAS_IDENTIFIER]->(i{...}))."""
+    key = f"{id_type}:{id_value}"
+    return (
+        edges.filter((F.col("edge_type") == HAS_IDENTIFIER) & (F.col("dst") == key))
+        .select(F.col("src").alias("entity_id"))
+        .dropDuplicates(["entity_id"])
+    )
+
+
+def entity_facts(
+    edges: DataFrame,
+    facts: DataFrame,
+    entity_ids: DataFrame,
+    pred: str | None = None,
+) -> DataFrame:
+    """All (entity_id, pred, fact_id, name, fact_type, confidence) of the
+    given entities — OPTIONAL MATCH (e)-[hf:HAS_FACT]->(f) (C2) with the
+    north_star's predicate filter. ``facts`` is a dimension -> broadcast."""
+    hf = edges.filter(F.col("edge_type") == HAS_FACT).select(
+        F.col("src").alias("entity_id"),
+        F.col("dst").alias("fact_id"),
+        "pred",
+        "confidence",
+    )
+    if pred is not None:
+        hf = hf.filter(F.col("pred") == pred)
+    return (
+        entity_ids.join(hf, "entity_id", "inner")
+        .join(F.broadcast(facts), "fact_id", "inner")
+        .select("entity_id", "pred", "fact_id", "name", "fact_type", "confidence")
+    )
+
+
+def entity_neighborhood(
+    edges: DataFrame,
+    facts: DataFrame,
+    id_type: str,
+    id_value: str,
+    pred: str | None = None,
+) -> DataFrame:
+    """Full lookup (age_repository.py:206-221): anchor join + optional fact
+    expansion + optional provenance hop, flattened to one row per
+    (fact, source). Entities with zero facts still return one row
+    (left joins — C2/C3)."""
+    e = find_entity_by_identifier(edges, id_type, id_value)
+    hf = edges.filter(F.col("edge_type") == HAS_FACT).select(
+        F.col("src").alias("entity_id"),
+        F.col("dst").alias("fact_id"),
+        "pred",
+        "confidence",
+    )
+    if pred is not None:
+        hf = hf.filter(F.col("pred") == pred)
+    df_edges = edges.filter(F.col("edge_type") == DERIVED_FROM).select(
+        F.col("src").alias("fact_id"), F.col("dst").alias("source_id")
+    )
+    return (
+        e.join(hf, "entity_id", "left")
+        .join(F.broadcast(facts), "fact_id", "left")
+        .join(df_edges, "fact_id", "left")
+        .select(
+            "entity_id", "pred", "fact_id", "name", "fact_type", "confidence", "source_id"
+        )
+    )
+
+
+def primary_identifier(edges: DataFrame) -> DataFrame:
+    """One identifier per entity: primary first, then earliest created
+    (age_repository.py:380-414 — the reference's ranked preference pick)."""
+    hi = edges.filter(F.col("edge_type") == HAS_IDENTIFIER)
+    w = Window.partitionBy("src").orderBy(
+        F.desc_nulls_last("is_primary"), F.asc("created_at"), F.asc("dst")
+    )
+    return (
+        hi.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("src").alias("entity_id"), F.col("dst").alias("identifier_key"))
+    )
+
+
+# --------------------------------------------------------------------------
+# refcounted cascade GC (H3/H4)
+# --------------------------------------------------------------------------
+def fact_refcounts(edges: DataFrame) -> DataFrame:
+    """fact_id -> number of distinct entities asserting it (D2/C4)."""
+    return (
+        edges.filter(F.col("edge_type") == HAS_FACT)
+        .groupBy(F.col("dst").alias("fact_id"))
+        .agg(F.countDistinct("src").alias("n_entities"))
+    )
+
+
+def delete_entity(tables: dict[str, DataFrame], entity_id: str) -> dict[str, DataFrame]:
+    """Cascade-delete an entity (age_repository.py:471-664):
+    drop its edges; drop facts only if no OTHER entity references them
+    (shared facts preserved — test :369-427); drop orphaned sources and
+    identifiers."""
+    edges, facts, nodes = tables["edges"], tables["facts"], tables["nodes"]
+    sources, identifiers = tables["sources"], tables["identifiers"]
+
+    doomed_facts = (
+        edges.filter((F.col("edge_type") == HAS_FACT))
+        .groupBy("dst")
+        .agg(
+            F.sum(F.when(F.col("src") == entity_id, 1).otherwise(0)).alias("mine"),
+            F.sum(F.when(F.col("src") != entity_id, 1).otherwise(0)).alias("others"),
+        )
+        .filter((F.col("mine") > 0) & (F.col("others") == 0))
+        .select(F.col("dst").alias("fact_id"))
+    )
+
+    new_edges = edges.filter(F.col("src") != entity_id).join(
+        doomed_facts,
+        (F.col("edge_type") == DERIVED_FROM) & (F.col("src") == F.col("fact_id")),
+        "left_anti",
+    )
+    new_facts = facts.join(doomed_facts, "fact_id", "left_anti")
+    new_nodes = nodes.filter(F.col("entity_id") != entity_id)
+
+    live_sources = new_edges.filter(F.col("edge_type") == DERIVED_FROM).select(
+        F.col("dst").alias("source_id")
+    )
+    new_sources = sources.join(live_sources, "source_id", "left_semi")
+
+    live_ids = new_edges.filter(F.col("edge_type") == HAS_IDENTIFIER).select(
+        F.col("dst").alias("identifier_key")
+    )
+    new_identifiers = identifiers.join(
+        live_ids,
+        F.concat_ws(":", identifiers.id_type, identifiers.value)
+        == live_ids.identifier_key,
+        "left_semi",
+    )
+    return {
+        "nodes": new_nodes,
+        "identifiers": new_identifiers,
+        "facts": new_facts,
+        "sources": new_sources,
+        "edges": new_edges,
+    }
+
+
+def remove_fact_from_entity(
+    tables: dict[str, DataFrame], entity_id: str, fid: str
+) -> dict[str, DataFrame]:
+    """Remove ALL HAS_FACT edges entity<->fact regardless of verb
+    (age_repository.py:877-1009; all-verbs test :758-816), cascading the
+    fact + its provenance if orphaned."""
+    edges, facts, sources = tables["edges"], tables["facts"], tables["sources"]
+
+    new_edges = edges.filter(
+        ~(
+            (F.col("edge_type") == HAS_FACT)
+            & (F.col("src") == entity_id)
+            & (F.col("dst") == fid)
+        )
+    )
+    still_referenced = (
+        new_edges.filter((F.col("edge_type") == HAS_FACT) & (F.col("dst") == fid))
+        .limit(1)
+        .count()
+        > 0
+    )
+    if not still_referenced:
+        new_edges = new_edges.filter(
+            ~((F.col("edge_type") == DERIVED_FROM) & (F.col("src") == fid))
+        )
+        facts = facts.filter(F.col("fact_id") != fid)
+    live_sources = new_edges.filter(F.col("edge_type") == DERIVED_FROM).select(
+        F.col("dst").alias("source_id")
+    )
+    sources = sources.join(live_sources, "source_id", "left_semi")
+    return {**tables, "edges": new_edges, "facts": facts, "sources": sources}

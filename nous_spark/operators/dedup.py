@@ -1,0 +1,309 @@
+"""Document deduplication operators — exact, MinHash-LSH, SimHash, n-gram
+Jaccard.
+
+These are the training-data-pipeline workhorses at 100 TB: exact dedup is
+one hash-groupBy; near-dup needs blocking (LSH banding) so the candidate
+self-join is per-bucket instead of all-pairs. Signatures are computed in
+ONE Arrow-batched numpy pass per partition; all joins/groupBys stay
+JVM-side.
+
+Scale notes:
+  * MinHash banding: P(candidate) = 1-(1-s^r)^b — with r=4, b=16 the
+    S-curve crosses ~0.5 at s≈0.5; buckets are (band_id, band_hash)
+    pairs, so the shuffle key space is huge and hot buckets (boilerplate
+    docs) are bounded by band width, not corpus size.
+  * SimHash: 64-bit fingerprints, near-dup = hamming<=3 via 4x16-bit
+    pigeonhole blocking, verified with bit_count(xor) in the JVM.
+  * n-gram Jaccard: exact verification — explode distinct shingle hashes,
+    equi-join on shingle, count shared / union. Run AFTER blocking at
+    scale; standalone it is quadratic in bucket size only.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# deterministic 64-bit universal-hash parameters (fixed seed — resumable runs)
+_MERSENNE = (1 << 61) - 1
+
+
+def _hash_params(n: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=n, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=n, dtype=np.int64)
+    return a, b
+
+
+def _shingles(text: str, k: int) -> np.ndarray:
+    """Word k-gram shingle hashes (crc32 — fast, deterministic)."""
+    words = text.split()
+    if len(words) < k:
+        grams = [" ".join(words)] if words else []
+    else:
+        grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+    if not grams:
+        return np.array([0], dtype=np.int64)
+    return np.unique(
+        np.fromiter((zlib.crc32(g.encode("utf-8")) for g in grams), dtype=np.int64)
+    )
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups: md5(text) -> canonical (min) id + group size."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig: array<long>) — vectorized numpy minhash per Arrow batch."""
+    a, b = _hash_params(n_hashes, seed)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = []
+            for text in pdf[text_col]:
+                sh = _shingles(text or "", shingle_k)
+                # (a*x + b) mod p for all hash fns at once: (H, S) matrix
+                vals = (a[:, None] * sh[None, :] + b[:, None]) % _MERSENNE
+                sigs.append(vals.min(axis=1).tolist())
+            yield pd.DataFrame({id_col: pdf[id_col], "sig": sigs})
+
+    return docs.select(id_col, text_col).mapInPandas(
+        gen, f"{id_col} long, sig array<long>"
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    n_bands: int = 16,
+) -> DataFrame:
+    """Band the signatures and self-join per bucket -> candidate (a, b) pairs.
+
+    Bucket key = (band index, xxhash of the band slice); pairs are emitted
+    once (a < b) and deduped across bands.
+    """
+    n_hashes = 64  # matches minhash_signatures default; slice size derived below
+    sig_len_row = signatures.select(F.size("sig").alias("n")).first()
+    if sig_len_row is not None:
+        n_hashes = sig_len_row["n"]
+    r = n_hashes // n_bands
+
+    bands = signatures.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda i: F.xxhash64(F.slice("sig", i * r + 1, r).cast("string")),
+            )
+        ).alias("band", "bucket"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def minhash_near_dups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    n_hashes: int = 64,
+    n_bands: int = 16,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs with estimated Jaccard >= threshold.
+
+    Estimate = fraction of agreeing minhash positions (unbiased for true
+    Jaccard). Returns (id_a, id_b, est_jaccard).
+    """
+    sigs = minhash_signatures(docs, id_col, text_col, n_hashes, shingle_k, seed)
+    cands = lsh_candidate_pairs(sigs, id_col, n_bands)
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    agree = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", agree / F.size("sig_a"))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+def simhash_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+) -> DataFrame:
+    """64-bit SimHash over word unigram hashes — (id, simhash: long)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for text in pdf[text_col]:
+                words = (text or "").split()
+                if not words:
+                    out.append(0)
+                    continue
+                hs = np.fromiter(
+                    (
+                        (zlib.crc32((w + str(seed)).encode()) * 0x9E3779B97F4A7C15)
+                        & 0xFFFFFFFFFFFFFFFF
+                        for w in words
+                    ),
+                    dtype=np.uint64,
+                )
+                bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+                    np.int32
+                )
+                v = (2 * bits - 1).sum(axis=0)
+                fp = np.uint64(0)
+                for j in range(64):
+                    if v[j] > 0:
+                        fp |= np.uint64(1) << np.uint64(j)
+                out.append(int(fp.astype(np.int64)))
+            yield pd.DataFrame({id_col: pdf[id_col], "simhash": out})
+
+    return docs.select(id_col, text_col).mapInPandas(gen, f"{id_col} long, simhash long")
+
+
+def simhash_near_dups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Pairs with hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Blocking: split the 64-bit fingerprint into 4 x 16-bit chunks; any
+    pair within hamming<=3 must agree on >=1 chunk (pigeonhole), so the
+    candidate join is an equi-join on (chunk_idx, chunk_value). The
+    verification (bit_count of xor) runs JVM-side.
+    """
+    fp = simhash_fingerprints(docs, id_col, text_col, seed)
+    chunks = fp.select(
+        id_col,
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cands.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# --------------------------------------------------------------------------
+# exact n-gram Jaccard (verification operator)
+# --------------------------------------------------------------------------
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-k-gram Jaccard similarity for all pairs sharing >=1 gram.
+
+    Pure DataFrame: explode distinct shingle hashes, equi-join on shingle,
+    |A∩B| via group-count, |A∪B| = |A|+|B|-|A∩B|.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows_id, rows_sh = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                for sh in _shingles(text or "", k):
+                    rows_id.append(did)
+                    rows_sh.append(int(sh))
+            yield pd.DataFrame({id_col: rows_id, "shingle": rows_sh})
+
+    shingled = docs.select(id_col, text_col).mapInPandas(
+        gen, f"{id_col} long, shingle long"
+    )
+    sizes = shingled.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

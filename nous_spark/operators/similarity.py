@@ -1,0 +1,179 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per the scale playbook:
+  * brute-force cosine — exact; JVM-side `aggregate`/`zip_with` math
+    (whole-stage codegen, no Python) OR a numpy pandas-UDF when the query
+    set is a matrix. Fine up to ~10^7 x dim per executor scan.
+  * LSH-bucketed (random hyperplanes) — approximate; each vector maps to
+    a signed-projection bit bucket, queries probe matching buckets only.
+    The bucket map is the IVF-style scale path: the scan becomes a
+    partition-pruned equi-join instead of a full sweep.
+
+Mirrors the reference's Qdrant top-k (qdrant_repository.py:215-224,
+limit=top_k, score_threshold) including the min-score filter, plus the
+RAG verification semi-join analog in rag.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cosine_scores(
+    vectors: DataFrame,
+    query: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, score) — exact cosine vs one query vector, JVM-side math.
+
+    All arithmetic in double (matches the DuckDB oracle's
+    list_cosine_similarity on ::DOUBLE[] lists).
+    """
+    q = [float(x) for x in query]
+    qnorm = float(np.sqrt(sum(x * x for x in q)))
+    qcol = F.array(*[F.lit(x) for x in q])
+    v = F.col(vec_col).cast("array<double>")
+    dot = F.aggregate(
+        F.zip_with(v, qcol, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    vnorm = F.sqrt(
+        F.aggregate(F.transform(v, lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    return vectors.select(
+        F.col(id_col),
+        (dot / (vnorm * F.lit(qnorm))).alias("score"),
+    )
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    query: list[float],
+    k: int = 10,
+    min_score: float | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by cosine score (desc), deterministic tiebreak on id —
+    the E1 operator (Qdrant query_points semantics)."""
+    scored = cosine_scores(vectors, query, id_col, vec_col)
+    if min_score is not None:
+        scored = scored.filter(F.col("score") >= min_score)
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "score", "rank")
+    )
+
+
+def batch_cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Many-query ANN baseline: numpy matmul per Arrow batch against a
+    broadcast query matrix, then per-query window top-k.
+
+    The query set is collected once and broadcast (it is the small side —
+    same contract as F.broadcast on a dim table).
+    """
+    qrows = queries.select(q_id_col, q_vec_col).collect()
+    q_ids = [r[q_id_col] for r in qrows]
+    qm = np.array([r[q_vec_col] for r in qrows], dtype=np.float64)
+    qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+    sc = vectors.sparkSession.sparkContext
+    bq = sc.broadcast((q_ids, qn))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, qmat = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vm = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            vn = vm / np.maximum(np.linalg.norm(vm, axis=1, keepdims=True), 1e-12)
+            scores = vn @ qmat.T  # (batch, n_queries)
+            n_b, n_q = scores.shape
+            yield pd.DataFrame(
+                {
+                    q_id_col: np.repeat(ids, n_b),
+                    id_col: np.tile(pdf[id_col].to_numpy(), n_q),
+                    "score": scores.T.ravel(),
+                }
+            )
+
+    scored = vectors.select(id_col, vec_col).mapInPandas(
+        gen, f"{q_id_col} long, {id_col} long, score double"
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, id_col, "score", "rank")
+    )
+
+
+def hyperplane_buckets(
+    vectors: DataFrame,
+    n_planes: int = 12,
+    dim: int | None = None,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH bucket per vector — the ANN scale path.
+
+    bucket = sign-bit string of n_planes fixed (seeded) projections.
+    Cosine-similar vectors collide with probability (1 - theta/pi)^n.
+    """
+    if dim is None:
+        first = vectors.select(F.size(vec_col).alias("d")).first()
+        dim = int(first["d"])
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    sc = vectors.sparkSession.sparkContext
+    bp = sc.broadcast(planes)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pl = bp.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vm = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            bits = (vm @ pl.T) > 0  # (batch, planes)
+            buckets = (bits * (1 << np.arange(pl.shape[0]))).sum(axis=1).astype(np.int64)
+            yield pd.DataFrame({id_col: pdf[id_col], "bucket": buckets})
+
+    return vectors.select(id_col, vec_col).mapInPandas(gen, f"{id_col} long, bucket long")
+
+
+def lsh_ann_topk(
+    vectors: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_planes: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only the query's hyperplane bucket.
+
+    (Single-probe for clarity; multi-probe = flip lowest-margin bits.)
+    """
+    buckets = hyperplane_buckets(vectors, n_planes, len(query), seed, id_col, vec_col)
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_planes, len(query)))
+    qbits = (planes @ np.array(query, dtype=np.float64)) > 0
+    qbucket = int((qbits * (1 << np.arange(n_planes))).sum())
+    cand_ids = buckets.filter(F.col("bucket") == qbucket).select(id_col)
+    cands = vectors.join(cand_ids, id_col, "left_semi")
+    return cosine_topk(cands, query, k, None, id_col, vec_col)

@@ -1,0 +1,118 @@
+"""Text-analysis operators for the documents table: token counting,
+quality scoring, language ID, document fingerprinting.
+
+Design split:
+  * token_count / quality metrics — pure Column expressions (JVM,
+    codegen, oracle-checkable in DuckDB with the same formulas);
+  * language ID / fingerprint — Arrow-batched UDFs (deterministic,
+    seeded; no oracle — verified by pytest invariants instead).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------- counting
+def token_count_col(text: Column) -> Column:
+    """Whitespace token count — identical formula to the DuckDB oracle:
+    length(regexp_split_to_array(trim(text), '\\s+'))."""
+    return F.size(F.split(F.trim(text), r"\s+"))
+
+
+_BPEISH = re.compile(r"\w+|[^\w\s]")
+
+
+def bpe_ish_token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """A BPE-ish token estimate: word pieces + punctuation marks, with
+    long words counted as ceil(len/6) subword units (the standard
+    ~4-6 chars/token heuristic). Arrow-batched."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            counts = []
+            for text in pdf[text_col]:
+                n = 0
+                for tok in _BPEISH.findall(text or ""):
+                    n += max(1, -(-len(tok) // 6))
+                counts.append(n)
+            out = pdf[["doc_id"]].copy()
+            out["n_tokens"] = counts
+            yield out
+
+    return docs.select("doc_id", text_col).mapInPandas(gen, "doc_id long, n_tokens long")
+
+
+# ---------------------------------------------------------------- quality
+def quality_columns(text: Column) -> dict[str, Column]:
+    """Quality-scoring features, all SQL-expressible (oracle parity):
+    chars, words, avg word length, punctuation ratio, the-stopword ratio."""
+    chars = F.length(text)
+    words = token_count_col(text)
+    nospace = F.length(F.regexp_replace(text, r"\s", ""))
+    punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+    stop = F.size(F.split(F.concat(F.lit(" "), text, F.lit(" ")), r"\s+the\s+")) - 1
+    return {
+        "n_chars_calc": chars,
+        "n_words": words,
+        "avg_word_len": F.round(nospace / words, 4),
+        "punct_ratio": F.round(punct / chars, 4),
+        "stop_the_ratio": F.round(stop / words, 4),
+    }
+
+
+# ---------------------------------------------------------------- lang id
+_LANG_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "in", "is", "that", "it", "was", "for", "on", "with", "as", "at"},
+    "pt": {"de", "que", "e", "o", "a", "do", "da", "em", "um", "uma", "para", "com", "não", "os"},
+    "fr": {"le", "la", "de", "et", "les", "des", "en", "un", "une", "du", "que", "est", "pour", "qui"},
+    "de": {"der", "die", "und", "das", "in", "von", "zu", "den", "mit", "ist", "des", "im", "ein", "auf"},
+    "es": {"el", "la", "de", "que", "y", "en", "los", "del", "se", "las", "por", "un", "con", "una"},
+}
+
+
+def lang_id_text(text: str | None) -> str:
+    """Stopword-overlap language ID; 'und' (undetermined) when no signal."""
+    if not text:
+        return "und"
+    words = re.findall(r"[a-záàâãéêíóôõúüçñ]+", text.lower())
+    if not words:
+        return "und"
+    bag = pd.Series(words).value_counts()
+    best_lang, best_score = "und", 0.0
+    for lang in sorted(_LANG_STOPWORDS):
+        score = sum(int(bag.get(w, 0)) for w in _LANG_STOPWORDS[lang]) / len(words)
+        if score > best_score:
+            best_lang, best_score = lang, score
+    return best_lang if best_score > 0.02 else "und"
+
+
+@F.pandas_udf(T.StringType())
+def lang_id_udf(text: pd.Series) -> pd.Series:
+    return text.map(lang_id_text)
+
+
+# ------------------------------------------------------------- fingerprint
+def fingerprint_text(text: str | None, window: int = 8) -> int:
+    """Winnowing-style document fingerprint: min rolling-window hash over
+    word 4-gram crc32s — robust to local edits, deterministic."""
+    if not text:
+        return 0
+    words = text.split()
+    grams = [" ".join(words[i : i + 4]) for i in range(max(1, len(words) - 3))]
+    hs = [zlib.crc32(g.encode()) for g in grams]
+    if len(hs) <= window:
+        return min(hs) if hs else 0
+    mins = [min(hs[i : i + window]) for i in range(len(hs) - window + 1)]
+    return zlib.crc32(bytes(str(sorted(set(mins))[:16]), "utf-8"))
+
+
+@F.pandas_udf(T.LongType())
+def fingerprint_udf(text: pd.Series) -> pd.Series:
+    return text.map(fingerprint_text)

@@ -1,0 +1,230 @@
+"""End-to-end KG construction pipeline with checkpointed, resumable stages.
+
+Stage graph (each stage a pure DataFrame transform + a parquet stage
+table; Iceberg would swap in via the same writer seam — sources/io.py):
+
+  pages ──extract──> docs(url, warc_ts, lang, text, mentions[], triples[])
+        ──mentions──> mentions(url, mention_rank, id_type, id_value, anchor_id)
+        ──canonical──> mapping(anchor_id, entity_id)        [connected components]
+        ──link──> triples(entity_id, pred, fact_id, ..., source_url)
+        ──materialize──> graph/{nodes,identifiers,facts,sources,edges}
+
+Resumability (north_rule): a ``_manifest.json`` in the run directory
+records completed stages; re-running skips them and re-reads their
+parquet output — combined with idempotent (dedup-keyed) writes, a
+killed-and-restarted run produces byte-identical tables with zero
+duplicate rows. Per-stage metrics rows (rows_in/rows_out/wall) and
+per-partition lineage rows land in ``metrics/`` — the analog of the
+reference's token_usage_events ledger (usage/models.py:16-63).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nous_spark.extraction.html import extract_text_udf
+from nous_spark.extraction.mentions import extract_mentions_udf
+from nous_spark.extraction.triples import extract_triples_udf
+from nous_spark.graph import build_graph_tables
+from nous_spark.linking import canonical_mapping, with_anchor_id
+from nous_spark.normalize import fact_id_col
+from nous_spark.skew import salted_distinct
+
+GRAPH_TABLES = ("nodes", "identifiers", "facts", "sources", "edges")
+
+
+# --------------------------------------------------------------------------
+# stage transforms (pure)
+# --------------------------------------------------------------------------
+def stage_extract(pages: DataFrame) -> DataFrame:
+    """html -> text (byte-identical per url), mentions, triples — one pass,
+    all Arrow-batched pandas UDFs, no shuffle."""
+    return pages.select(
+        "url",
+        "warc_ts",
+        "lang",
+        extract_text_udf(F.col("html")).alias("text"),
+    ).select(
+        "url",
+        "warc_ts",
+        "lang",
+        "text",
+        extract_mentions_udf(F.col("text")).alias("mentions"),
+        extract_triples_udf(F.col("text")).alias("triples"),
+    )
+
+
+def stage_mentions(docs: DataFrame) -> DataFrame:
+    m = docs.select(
+        "url", "warc_ts", F.posexplode("mentions").alias("mention_rank", "m")
+    ).select("url", "warc_ts", "mention_rank", "m.id_type", "m.id_value")
+    return with_anchor_id(m)
+
+
+def stage_canonical(mentions: DataFrame, alias_dict: DataFrame | None = None) -> DataFrame:
+    return canonical_mapping(mentions, alias_dict)
+
+
+def stage_link(docs: DataFrame, mentions: DataFrame, mapping: DataFrame) -> DataFrame:
+    """Attach each page's triples to its subject's canonical entity id."""
+    subjects = (
+        mentions.filter(F.col("mention_rank") == 0)
+        .join(mapping, "anchor_id")
+        .select("url", "entity_id")
+    )
+    exploded = docs.select(
+        "url", "warc_ts", F.explode("triples").alias("t")
+    ).select(
+        "url",
+        "warc_ts",
+        F.col("t.pred").alias("pred"),
+        F.col("t.fact_type").alias("fact_type"),
+        F.col("t.fact_name").alias("fact_name"),
+        F.col("t.confidence").alias("confidence"),
+    )
+    return (
+        exploded.join(subjects, "url")  # url is unique per page — skew-free equi-join
+        .withColumn("fact_id", fact_id_col(F.col("fact_type"), F.col("fact_name")))
+        .select(
+            "entity_id",
+            "pred",
+            "fact_type",
+            "fact_name",
+            "fact_id",
+            "confidence",
+            F.col("url").alias("source_url"),
+            "warc_ts",
+        )
+    )
+
+
+def stage_materialize(linked_triples: DataFrame, mentions_mapped: DataFrame, n_salts: int = 16) -> dict[str, DataFrame]:
+    tables = build_graph_tables(linked_triples, mentions_mapped)
+    # hot-entity skew: HAS_FACT dedup keys concentrate on head entities and
+    # head facts ("Location:Paris") — pre-spread with a salted two-phase dedup.
+    edges = tables["edges"]
+    hf = edges.filter(F.col("edge_type") == "HAS_FACT")
+    other = edges.filter(F.col("edge_type") != "HAS_FACT")
+    hf = salted_distinct(hf, ["src", "dst", "pred"], n_salts)
+    tables["edges"] = other.unionByName(hf.select(*other.columns))
+    return tables
+
+
+# --------------------------------------------------------------------------
+# run orchestration: checkpoints, resume, metrics
+# --------------------------------------------------------------------------
+class Run:
+    """A checkpointed pipeline run rooted at ``out_dir``."""
+
+    def __init__(self, spark: SparkSession, out_dir: str, run_id: str = "run"):
+        self.spark = spark
+        self.out_dir = out_dir
+        self.run_id = run_id
+        self.manifest_path = os.path.join(out_dir, "_manifest.json")
+        os.makedirs(out_dir, exist_ok=True)
+        self.manifest = self._load_manifest()
+        self.metrics: list[dict] = []
+
+    def _load_manifest(self) -> dict:
+        if os.path.exists(self.manifest_path):
+            with open(self.manifest_path) as f:
+                return json.load(f)
+        return {"run_id": self.run_id, "stages": {}}
+
+    def _save_manifest(self) -> None:
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.manifest, f, indent=2)
+        os.replace(tmp, self.manifest_path)
+
+    def done(self, stage: str) -> bool:
+        return stage in self.manifest["stages"]
+
+    def path(self, stage: str) -> str:
+        return os.path.join(self.out_dir, stage)
+
+    def read(self, stage: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(stage))
+
+    def checkpoint(self, stage: str, df: DataFrame) -> DataFrame:
+        """Materialize a stage: write parquet once, mark done, read back.
+
+        If the stage is already done (resume), the compute is skipped
+        entirely and the stored result is returned — zero recompute.
+        """
+        if self.done(stage):
+            return self.read(stage)
+        t0 = time.time()
+        path = self.path(stage)
+        df.write.mode("overwrite").parquet(path)
+        out = self.spark.read.parquet(path)
+        rows_out = out.count()
+        self.metrics.append(
+            {
+                "run_id": self.run_id,
+                "stage": stage,
+                "partition_id": None,
+                "rows_in": None,
+                "rows_out": rows_out,
+                "started_at": dt.datetime.fromtimestamp(t0, dt.timezone.utc),
+                "finished_at": dt.datetime.now(dt.timezone.utc),
+                "status": "ok",
+                "error_type": None,
+            }
+        )
+        self.manifest["stages"][stage] = {"rows": rows_out, "finished": time.time()}
+        self._save_manifest()
+        return out
+
+    def write_lineage(self, stage: str, df: DataFrame) -> None:
+        """Per-partition lineage rows for a materialized stage."""
+        lineage = (
+            df.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count("*").alias("rows_out"))
+            .withColumn("run_id", F.lit(self.run_id))
+            .withColumn("stage", F.lit(stage))
+        )
+        lineage.write.mode("append").parquet(os.path.join(self.out_dir, "lineage"))
+
+    def flush_metrics(self) -> None:
+        if not self.metrics:
+            return
+        from nous_spark.schemas import METRICS
+
+        mdf = self.spark.createDataFrame(self.metrics, METRICS)
+        mdf.write.mode("append").parquet(os.path.join(self.out_dir, "metrics"))
+        self.metrics = []
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    run_id: str = "run",
+    alias_dict: DataFrame | None = None,
+    n_salts: int = 16,
+) -> dict[str, DataFrame]:
+    """Execute (or resume) the full pipeline; returns the graph tables."""
+    run = Run(spark, out_dir, run_id)
+
+    docs = run.checkpoint("extract", stage_extract(pages))
+    mentions = run.checkpoint("mentions", stage_mentions(docs))
+    mapping = run.checkpoint("canonical", stage_canonical(mentions, alias_dict))
+    linked = run.checkpoint("triples", stage_link(docs, mentions, mapping))
+
+    mentions_mapped = mentions.join(mapping, "anchor_id").select(
+        "url", "mention_rank", "id_type", "id_value", "entity_id", "warc_ts"
+    )
+    tables = stage_materialize(linked, mentions_mapped, n_salts=n_salts)
+    out = {}
+    for name in GRAPH_TABLES:
+        out[name] = run.checkpoint(f"graph_{name}", tables[name])
+    run.write_lineage("triples", linked)
+    run.flush_metrics()
+    return out

@@ -1,0 +1,136 @@
+"""End-to-end pipeline tests: P/R at corpus scale, byte-identity across
+parallelism, alias canonicalization, resume-without-recompute."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nous_spark.datagen import generate_expected, generate_pages
+from nous_spark.graph import entity_neighborhood
+from nous_spark.pipeline import run_pipeline
+
+N_PAGES = 600
+
+
+@pytest.fixture(scope="module")
+def run_dir(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("nous_run"))
+
+
+@pytest.fixture(scope="module")
+def tables(spark, run_dir):
+    pages = generate_pages(spark, N_PAGES, seed=42)
+    return run_pipeline(spark, pages, run_dir, run_id="t")
+
+
+def _pr(spark, run_dir, n_pages):
+    exp = generate_expected(spark, n_pages, seed=42)
+    linked = spark.read.parquet(f"{run_dir}/triples")
+    men = spark.read.parquet(f"{run_dir}/mentions")
+    subj = men.filter(F.col("mention_rank") == 0).select(
+        "url", F.col("entity_key").alias("subj")
+    )
+    emitted = linked.join(subj, linked.source_url == subj.url).select(
+        "subj",
+        "pred",
+        F.concat_ws(":", "fact_type", "fact_name").alias("obj"),
+        linked.source_url.alias("url"),
+    )
+    e2 = (
+        exp.withColumn("pred_alt", F.explode(F.split("pred_alts", r"\|")))
+        .withColumn("obj_alt", F.explode(F.split("obj_alts", r"\|")))
+        .withColumn("alt_type", F.substring_index("obj_alt", ":", 1))
+        .withColumn("alt_name", F.expr("substring(obj_alt, instr(obj_alt, ':')+1)"))
+    )
+    m2 = emitted.withColumn("obj_type", F.substring_index("obj", ":", 1)).withColumn(
+        "obj_name", F.expr("substring(obj, instr(obj, ':')+1)")
+    )
+    matches = (
+        m2.join(
+            e2,
+            (m2.url == e2.url)
+            & (m2.subj == e2.subj)
+            & (m2.pred == e2.pred_alt)
+            & (m2.obj_name == e2.alt_name)
+            & ((e2.alt_type == "*") | (m2.obj_type == e2.alt_type)),
+            "inner",
+        )
+        .select(m2.url, m2.subj, m2.pred, m2.obj)
+        .distinct()
+    )
+    tp = matches.count()
+    n_emitted = emitted.distinct().count()
+    n_expected = exp.count()
+    return tp / n_emitted, tp / n_expected
+
+
+def test_pr_gate(spark, run_dir, tables):
+    precision, recall = _pr(spark, run_dir, N_PAGES)
+    assert precision >= 0.95, precision
+    assert recall >= 0.95, recall
+
+
+def test_graph_tables_nonempty_and_keyed(tables):
+    edges = tables["edges"]
+    assert edges.count() > 0
+    hf = edges.filter(F.col("edge_type") == "HAS_FACT")
+    assert hf.count() == hf.dropDuplicates(["src", "dst", "pred"]).count()
+    facts = tables["facts"]
+    assert facts.count() == facts.dropDuplicates(["fact_id"]).count()
+
+
+def test_alias_canonicalization_merges(spark, run_dir, tables):
+    """Alias pages (kind 8) carry email+username of one persona; after CC
+    both identifiers must resolve to the SAME canonical entity."""
+    men = spark.read.parquet(f"{run_dir}/mentions")
+    mapping = spark.read.parquet(f"{run_dir}/canonical")
+    m = men.join(mapping, "anchor_id")
+    multi = (
+        m.groupBy("url")
+        .agg(
+            F.countDistinct("anchor_id").alias("n_anchor"),
+            F.countDistinct("entity_id").alias("n_entity"),
+        )
+        .filter(F.col("n_anchor") > 1)
+    )
+    assert multi.count() > 0  # alias pages exist
+    assert multi.filter(F.col("n_entity") > 1).count() == 0  # all merged
+
+
+def test_text_byte_identity_across_parallelism(spark):
+    """BASELINE.md invariant: hash(text) per url identical at different
+    parallelism levels of the same input."""
+    from nous_spark.pipeline import stage_extract
+
+    pages = generate_pages(spark, 200, seed=42)
+    a = stage_extract(pages.repartition(1)).select("url", F.sha2("text", 256).alias("h"))
+    b = stage_extract(pages.repartition(13)).select("url", F.sha2("text", 256).alias("h"))
+    assert a.join(b, "url").filter(a.h != b.h).count() == 0
+    assert a.count() == 200
+
+
+def test_resume_skips_and_is_identical(spark, run_dir, tables):
+    pages = generate_pages(spark, N_PAGES, seed=42)
+    again = run_pipeline(spark, pages, run_dir, run_id="t")
+    for name in ("edges", "facts", "nodes"):
+        assert again[name].count() == tables[name].count()
+    # no duplicate dedup-keys after re-run (exactly-once)
+    hf = again["edges"].filter(F.col("edge_type") == "HAS_FACT")
+    assert hf.count() == hf.dropDuplicates(["src", "dst", "pred"]).count()
+
+
+def test_recall_query_end_to_end(spark, tables):
+    """Hot persona appears on many pages; recall returns its facts with
+    provenance, predicate filter narrows."""
+    res = entity_neighborhood(
+        tables["edges"], tables["facts"], "email", "persona0@example.com"
+    )
+    rows = res.collect()
+    assert len(rows) > 0
+    assert all(r["entity_id"] is not None for r in rows)
+    filtered = entity_neighborhood(
+        tables["edges"], tables["facts"], "email", "persona0@example.com", pred="lives_in"
+    )
+    assert 0 < filtered.count() <= len(rows)
+    assert all(r["pred"] == "lives_in" for r in filtered.collect())
