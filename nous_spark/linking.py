@@ -68,14 +68,143 @@ def cooccurrence_alias_edges(mentions_with_anchor: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# MinHash-LSH blocking + similarity-scored candidate ranking (north_star)
+# ---------------------------------------------------------------------------
+def _char_shingles(value: str, k: int = 3) -> set[str]:
+    """Char k-grams of '^value$' (lowered) — the blocking feature space."""
+    s = f"^{value.strip().lower()}$"
+    if len(s) <= k:
+        return {s}
+    return {s[i : i + k] for i in range(len(s) - k + 1)}
+
+
+def identifier_signatures(
+    identifiers: DataFrame,
+    n_hashes: int = 32,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(anchor_id, id_type, id_value, sig array<long>) — numpy minhash over
+    char shingles, one Arrow batch at a time. Fixed seed => deterministic
+    across runs and parallelism levels (resumability contract)."""
+    import zlib
+
+    import numpy as np
+
+    mersenne = (1 << 61) - 1
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, mersenne, size=n_hashes, dtype=np.int64)
+    b = rng.randint(0, mersenne, size=n_hashes, dtype=np.int64)
+
+    def gen(batches):
+        for pdf in batches:
+            sigs = []
+            for v in pdf["id_value"]:
+                sh = np.fromiter(
+                    (zlib.crc32(g.encode("utf-8")) for g in _char_shingles(v or "", shingle_k)),
+                    dtype=np.int64,
+                )
+                vals = (a[:, None] * sh[None, :] + b[:, None]) % mersenne
+                sigs.append(vals.min(axis=1).tolist())
+            out = pdf[["anchor_id", "id_type", "id_value"]].copy()
+            out["sig"] = sigs
+            yield out
+
+    return identifiers.select("anchor_id", "id_type", "id_value").mapInPandas(
+        gen, "anchor_id string, id_type string, id_value string, sig array<long>"
+    )
+
+
+def lsh_alias_candidates(
+    mentions_with_anchor: DataFrame,
+    threshold: float = 0.7,
+    n_hashes: int = 32,
+    n_bands: int = 16,  # r=2: blocking recall >=0.99 for sim>=0.5
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-identical identifier values -> similarity-scored alias edges.
+
+    The scale path for alias discovery (north_star: "MinHash-LSH blocking
+    and similarity-scored candidate ranking"): instead of an all-pairs
+    O(n^2) compare over 10^9 identifiers, (1) band the minhash signatures
+    and equi-join on (id_type, band, bucket) — only same-type identifiers
+    hashing to a shared bucket ever meet; (2) rank candidates by exact
+    char-shingle Jaccard (computed from the pair's values, Arrow-batched);
+    (3) keep pairs with sim >= threshold as (src, dst, sim) alias edges
+    feeding connected components.
+
+    Everything is deterministic (fixed seed); hot buckets are bounded by
+    band width, and AQE skew-join splits any residual hot bucket.
+    """
+    import zlib
+
+    import numpy as np
+
+    uniq = mentions_with_anchor.select(
+        "anchor_id", "id_type", "id_value"
+    ).dropDuplicates(["anchor_id"])
+    sigs = identifier_signatures(uniq, n_hashes, shingle_k, seed)
+    r = n_hashes // n_bands
+
+    bands = sigs.select(
+        "anchor_id",
+        "id_type",
+        "id_value",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda i: F.xxhash64(F.slice("sig", i * r + 1, r).cast("string")),
+            )
+        ).alias("band", "bucket"),
+    )
+    a_side, b_side = bands.alias("a"), bands.alias("b")
+    cands = (
+        a_side.join(
+            b_side,
+            (F.col("a.id_type") == F.col("b.id_type"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.anchor_id") < F.col("b.anchor_id")),
+        )
+        .select(
+            F.col("a.anchor_id").alias("src"),
+            F.col("a.id_value").alias("value_a"),
+            F.col("b.anchor_id").alias("dst"),
+            F.col("b.id_value").alias("value_b"),
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+
+    def score(batches):
+        for pdf in batches:
+            sims = []
+            for va, vb in zip(pdf["value_a"], pdf["value_b"]):
+                sa, sb = _char_shingles(va or "", shingle_k), _char_shingles(vb or "", shingle_k)
+                inter = len(sa & sb)
+                sims.append(inter / (len(sa) + len(sb) - inter) if inter else 0.0)
+            out = pdf[["src", "dst"]].copy()
+            out["sim"] = sims
+            yield out
+
+    scored = cands.mapInPandas(score, "src string, dst string, sim double")
+    return scored.filter(F.col("sim") >= threshold)
+
+
 def canonical_mapping(
     mentions_with_anchor: DataFrame,
     alias_dict: DataFrame | None = None,
+    use_lsh: bool = False,
+    lsh_threshold: float = 0.85,
 ) -> DataFrame:
     """Build the anchor_id -> canonical entity_id mapping.
 
-    ``alias_dict`` (optional, small): (entity_key_a, entity_key_b) pairs
-    of identifiers curated as equivalent; broadcast-joined onto anchors.
+    Alias evidence, unioned into one edge list for CC:
+      * co-occurrence on a page (always);
+      * a curated alias dictionary (optional, small — broadcast);
+      * MinHash-LSH near-identical identifier values (optional,
+        ``use_lsh`` — the web-scale fuzzy-alias path).
 
     Returns (anchor_id, entity_id). Anchors in no alias component map to
     themselves — the mapping is TOTAL over observed anchors, so the
@@ -88,6 +217,11 @@ def canonical_mapping(
             anchor_id_udf(F.col("entity_key_b")).alias("dst"),
         )
         edges = edges.unionByName(pairs).dropDuplicates(["src", "dst"])
+    if use_lsh:
+        fuzzy = lsh_alias_candidates(
+            mentions_with_anchor, threshold=lsh_threshold
+        ).select("src", "dst")
+        edges = edges.unionByName(fuzzy).dropDuplicates(["src", "dst"])
 
     comp = connected_components(edges)  # (id, component) — component = min id
     anchors = mentions_with_anchor.select("anchor_id").dropDuplicates(["anchor_id"])
