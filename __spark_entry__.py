@@ -16,16 +16,32 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nous_spark.graph import entity_facts, fact_refcounts, find_entity_by_identifier
+from nous_spark.graph import (
+    entity_facts,
+    entity_neighborhood,
+    fact_refcounts,
+    find_entity_by_identifier,
+    primary_identifier,
+)
 from nous_spark.operators.dedup import (
+    embedding_near_dups,
+    embedding_near_dups_exact,
     exact_dedup,
     minhash_near_dups,
     ngram_jaccard_pairs,
     simhash_near_dups,
 )
-from nous_spark.operators.similarity import cosine_scores, lsh_ann_topk
-from nous_spark.operators.text import lang_id_udf, quality_columns, token_count_col
-from nous_spark.operators.tpch_graph import EDGES_SQL, tpch_edges, tpch_facts
+from nous_spark.operators.multimodal import image_features, synth_media
+from nous_spark.operators.similarity import batch_cosine_topk, cosine_scores, lsh_ann_topk
+from nous_spark.operators.text import (
+    bpe_ish_token_count,
+    fingerprint_udf,
+    lang_id_udf,
+    quality_columns,
+    token_count_col,
+)
+from nous_spark.operators.tpch_graph import EDGES_SQL, FACTS_SQL, tpch_edges, tpch_facts
+from nous_spark.semantic import build_embeddings, rag_recall, summarize_entities
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -240,6 +256,33 @@ def _q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kg_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full lookup with OPTIONAL-MATCH left joins (C2/C3): facts + provenance
+    hop (tpch graph has no DERIVED_FROM, so source_id is NULL — the left
+    join shape is the point)."""
+    edges = tpch_edges(spark, sf_dir)
+    facts = tpch_facts(spark, sf_dir)
+    return entity_neighborhood(edges, facts, "username", "Customer#000000002")
+
+
+def _q_kg_primary_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return primary_identifier(tpch_edges(spark, sf_dir))
+
+
+def _q_kg_entity_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 template summaries with confidence qualifiers; lives_in edges
+    downgraded to 0.8 so the 'likely' branch is exercised."""
+    edges = tpch_edges(spark, sf_dir).withColumn(
+        "confidence",
+        F.when(F.col("pred") == "lives_in", 0.8).otherwise(F.col("confidence")),
+    )
+    return summarize_entities(edges, tpch_facts(spark, sf_dir))
+
+
+def _q_emb_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_dups_exact(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
 # ----------------------------- non-SQL-expressible (rows-only check) -------
 def _q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dups(_t(spark, sf_dir, "documents"), threshold=0.5)
@@ -266,6 +309,67 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
     return lsh_ann_topk(emb, [float(x) for x in qvec], k=10, n_planes=8)
+
+
+def _q_emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_dups(_t(spark, sf_dir, "embeddings"), threshold=0.4, n_planes=6)
+
+
+def _q_kg_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-mirror build (A4): deterministic point ids + feature-hash
+    vectors for every HAS_FACT edge of the tpch graph."""
+    edges = tpch_edges(spark, sf_dir)
+    facts = tpch_facts(spark, sf_dir)
+    emb = build_embeddings(edges, facts, dim=64)
+    return emb.select(
+        "point_id", "entity_id", "fact_id", "verb", F.size("vector").alias("dim")
+    )
+
+
+def _q_kg_rag_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG read path (E1+C6+B8) over the tpch graph."""
+    edges = tpch_edges(spark, sf_dir)
+    facts = tpch_facts(spark, sf_dir)
+    emb = build_embeddings(edges, facts, dim=64)
+    out = rag_recall(
+        edges, facts, emb, "username", "Customer#000000001",
+        "which nation does the customer live in", top_k=5, dim=64,
+    )
+    return out.select(
+        "entity_id", "fact_id", "verb", F.round("score", 4).alias("score"), "rank"
+    )
+
+
+def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint_udf(F.col("text")).alias("fingerprint"))
+
+
+def _q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_ish_token_count(_t(spark, sf_dir, "documents"))
+
+
+def _q_ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = batch_cosine_topk(emb, queries_df, k=5)
+    return out.select("q_id", "vec_id", F.round("score", 4).alias("score"), "rank")
+
+
+def _q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: synthetic binary media -> Arrow-batched
+    feature extraction (decode stubbed; deterministic)."""
+    media = synth_media(spark, 300, seed=42)
+    feats = image_features(media, n_hist=8)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        F.round(F.element_at("features", 1), 4).alias("mean_r"),
+        F.round(F.element_at("features", 4), 4).alias("std_gray"),
+    )
 
 
 def _q_kg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -303,6 +407,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_token_stats": _q_doc_token_stats,
         "ann_cosine_scores": _q_ann_cosine,
+        "kg_neighborhood_lookup": _q_kg_neighborhood,
+        "kg_primary_identifier": _q_kg_primary_identifier,
+        "kg_entity_summary": _q_kg_entity_summary,
+        "emb_near_dup_exact": _q_emb_near_dup_exact,
         # rows-only (non-SQL-expressible: seeded sketches / UDF heuristics)
         "doc_minhash_near_dups": _q_minhash_near_dups,
         "doc_simhash_near_dups": _q_simhash_near_dups,
@@ -310,6 +418,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id_confusion": _q_lang_id,
         "ann_lsh_topk": _q_ann_lsh,
         "kg_pipeline_triples": _q_kg_pipeline,
+        "emb_near_dup_lsh": _q_emb_near_dup_lsh,
+        "kg_embeddings_build": _q_kg_embeddings,
+        "kg_rag_recall": _q_kg_rag_recall,
+        "doc_fingerprints": _q_doc_fingerprints,
+        "doc_bpe_tokens": _q_doc_bpe_tokens,
+        "ann_batch_topk": _q_ann_batch_topk,
+        "media_image_features": _q_media_image_features,
     }
 
 
@@ -433,5 +548,58 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(embedding::DOUBLE[], qv), 4) AS score
             FROM embeddings, q
             WHERE round(list_cosine_similarity(embedding::DOUBLE[], qv), 4) >= 0.3
+        """,
+        "kg_neighborhood_lookup": f"""
+            WITH edges AS ({EDGES_SQL}), facts AS ({FACTS_SQL})
+            SELECT e.src AS entity_id, hf.pred AS pred, hf.dst AS fact_id,
+                   f.name AS name, f.fact_type AS fact_type,
+                   hf.confidence AS confidence,
+                   CAST(NULL AS VARCHAR) AS source_id
+            FROM edges e
+            LEFT JOIN edges hf ON hf.src = e.src AND hf.edge_type = 'HAS_FACT'
+            LEFT JOIN facts f ON f.fact_id = hf.dst
+            WHERE e.edge_type = 'HAS_IDENTIFIER'
+              AND e.dst = 'username:Customer#000000002'
+        """,
+        "kg_primary_identifier": f"""
+            WITH edges AS ({EDGES_SQL})
+            SELECT src AS entity_id, dst AS identifier_key
+            FROM (
+              SELECT src, dst, row_number() OVER (
+                PARTITION BY src
+                ORDER BY is_primary DESC NULLS LAST, created_at ASC, dst ASC
+              ) AS rn
+              FROM edges WHERE edge_type = 'HAS_IDENTIFIER'
+            ) WHERE rn = 1
+        """,
+        "kg_entity_summary": f"""
+            WITH edges AS ({EDGES_SQL}), facts AS ({FACTS_SQL}),
+            hf AS (
+              SELECT src AS entity_id, dst AS fact_id, pred,
+                     CASE WHEN pred = 'lives_in' THEN 0.8 ELSE confidence END AS confidence
+              FROM edges WHERE edge_type = 'HAS_FACT'
+            ),
+            clauses AS (
+              SELECT entity_id, pred, hf.fact_id,
+                     CASE WHEN confidence >= 0.9 THEN ''
+                          WHEN confidence >= 0.7 THEN 'likely '
+                          ELSE 'possibly ' END
+                       || pred || ' ' || fact_type || ': ' || name AS clause
+              FROM hf JOIN facts ON facts.fact_id = hf.fact_id
+            )
+            SELECT entity_id, count(*) AS n_facts,
+                   'The entity ' || string_agg(
+                     clause, '; '
+                     ORDER BY pred || chr(31) || fact_id || chr(31) || clause
+                   ) || '.' AS summary
+            FROM clauses GROUP BY entity_id
+        """,
+        "emb_near_dup_exact": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 4) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) >= 0.4
         """,
     }

@@ -110,12 +110,19 @@ def idempotent_append(new_rows: DataFrame, existing: DataFrame | None, keys: lis
     The batch analog of the reference's MERGE/pre-insert existence check
     (H1/H2): dedup within the batch, anti-join against what's already
     written. Re-running a stage therefore appends nothing — this is what
-    makes checkpoint/resume exactly-once.
+    makes checkpoint/resume exactly-once. The anti-join is NULL-safe so
+    nullable key columns (e.g. ``pred`` on non-HAS_FACT edges) still
+    dedup correctly.
     """
     batch = new_rows.dropDuplicates(keys)
     if existing is None:
         return batch
-    return batch.join(existing.select(*keys).dropDuplicates(keys), keys, "left_anti")
+    ex = existing.select(*keys).dropDuplicates(keys)
+    cond = None
+    for k in keys:
+        c = batch[k].eqNullSafe(ex[k])
+        cond = c if cond is None else (cond & c)
+    return batch.join(ex, cond, "left_anti")
 
 
 # --------------------------------------------------------------------------

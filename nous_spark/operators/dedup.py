@@ -254,6 +254,88 @@ def simhash_near_dups(
 
 
 # --------------------------------------------------------------------------
+# embedding-cosine near-duplicates
+# --------------------------------------------------------------------------
+def embedding_near_dups_exact(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine >= threshold — exact all-pairs verification.
+
+    JVM-side math (zip_with/aggregate in double — same formula as the
+    DuckDB oracle's list_cosine_similarity). Quadratic: use ONLY after
+    blocking at scale, or on a bounded candidate set; the scale path is
+    ``embedding_near_dups`` below.
+    """
+    a = vectors.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va")
+    )
+    b = vectors.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb")
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", dot / (norm(F.col("va")) * norm(F.col("vb"))))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+    )
+
+
+def embedding_near_dups(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate embeddings at scale: random-hyperplane LSH blocking
+    then exact cosine verification inside each bucket.
+
+    Vectors with cosine >= threshold (angle theta) collide on all
+    n_planes sign bits with probability (1 - theta/pi)^n — at 0.95
+    (theta~18deg) and n=8 that's ~0.42 per table; production stacks
+    multiple hash tables for recall (kept single-table here; the operator
+    contract is "every returned pair is a true near-dup", not recall=1).
+    """
+    from nous_spark.operators.similarity import hyperplane_buckets
+
+    buckets = hyperplane_buckets(vectors, n_planes, None, seed, id_col, vec_col)
+    with_bucket = vectors.join(buckets, id_col)
+    a = with_bucket.select(
+        F.col("bucket"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).cast("array<double>").alias("va"),
+    )
+    b = with_bucket.select(
+        F.col("bucket").alias("bucket_b"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).cast("array<double>").alias("vb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    return (
+        a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("id_a") < F.col("id_b")))
+        .withColumn("cosine", dot / (norm(F.col("va")) * norm(F.col("vb"))))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+    )
+
+
+# --------------------------------------------------------------------------
 # exact n-gram Jaccard (verification operator)
 # --------------------------------------------------------------------------
 def ngram_jaccard_pairs(

@@ -33,6 +33,7 @@ def tpch_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load(spark, sf_dir, "nation")
 
     entity = F.concat(F.lit("cust:"), F.col("c_custkey"))
+    null_ts = F.lit(None).cast("timestamp").alias("created_at")
     has_identifier = customer.select(
         entity.alias("src"),
         F.lit("HAS_IDENTIFIER").alias("edge_type"),
@@ -40,6 +41,7 @@ def tpch_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("pred"),
         F.lit(None).cast("double").alias("confidence"),
         F.lit(True).alias("is_primary"),
+        null_ts,
     )
     lives_in = (
         customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
@@ -50,6 +52,7 @@ def tpch_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("lives_in").alias("pred"),
             F.lit(1.0).alias("confidence"),
             F.lit(None).cast("boolean").alias("is_primary"),
+            null_ts,
         )
     )
     has_segment = customer.select(
@@ -59,6 +62,7 @@ def tpch_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("has_segment").alias("pred"),
         F.lit(1.0).alias("confidence"),
         F.lit(None).cast("boolean").alias("is_primary"),
+        null_ts,
     )
     return has_identifier.unionByName(lives_in).unionByName(has_segment)
 
@@ -87,14 +91,23 @@ def tpch_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
 EDGES_SQL = """
     SELECT 'cust:' || c_custkey AS src, 'HAS_IDENTIFIER' AS edge_type,
            'username:' || c_name AS dst, CAST(NULL AS VARCHAR) AS pred,
-           CAST(NULL AS DOUBLE) AS confidence, TRUE AS is_primary
+           CAST(NULL AS DOUBLE) AS confidence, TRUE AS is_primary,
+           CAST(NULL AS TIMESTAMP) AS created_at
     FROM customer
     UNION ALL
     SELECT 'cust:' || c_custkey, 'HAS_FACT', 'Nation:' || n_name,
-           'lives_in', 1.0, NULL
+           'lives_in', 1.0, NULL, NULL
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     UNION ALL
     SELECT 'cust:' || c_custkey, 'HAS_FACT', 'Segment:' || c_mktsegment,
-           'has_segment', 1.0, NULL
+           'has_segment', 1.0, NULL, NULL
+    FROM customer
+"""
+
+FACTS_SQL = """
+    SELECT 'Nation:' || n_name AS fact_id, n_name AS name, 'Nation' AS fact_type
+    FROM nation
+    UNION ALL
+    SELECT DISTINCT 'Segment:' || c_mktsegment, c_mktsegment, 'Segment'
     FROM customer
 """

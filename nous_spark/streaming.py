@@ -1,0 +1,144 @@
+"""Incremental assimilation via Structured Streaming.
+
+The reference has no streaming layer (SURVEY.md §2.I): ingestion is one
+synchronous REST call per text unit (routes/assimilate.py:78-91). Its
+batch analog here is the pipeline; the *incremental* analog is this
+module: a ``readStream`` over the pages table, with each micro-batch
+running the SAME stage functions (pipeline.py) inside ``foreachBatch``
+and landing in the SAME graph tables through the idempotent writer
+(graph.idempotent_append) — so a page assimilated twice (replayed
+micro-batch, at-least-once source) still yields exactly-once rows, the
+same contract as the reference's MERGE find-or-create
+(age_repository.py:101-123, 689-701).
+
+Design notes for scale:
+  * entity identity across micro-batches needs NO global state: anchor
+    ids are deterministic uuid5 of (id_type, id_value) (linking.py), so
+    two batches mentioning the same identifier independently mint the
+    same entity id. Connected-components canonicalization runs per batch
+    (merging in-batch aliases); a periodic batch CC job compacts
+    cross-batch aliases — the classic lambda split.
+  * the dedup anti-join reads only the key columns of the sink tables
+    (column-pruned parquet scan), not full rows.
+  * watermarked event-time rollups (page_rate) demonstrate late-data
+    handling on ``warc_ts`` — the event-time column the reference keeps
+    distinct from system time (docs/graph_db_schema.md:77-84).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nous_spark.graph import build_graph_tables, idempotent_append
+from nous_spark.pipeline import GRAPH_TABLES, stage_extract, stage_link, stage_mentions
+from nous_spark.linking import canonical_mapping
+from nous_spark.schemas import PAGES
+
+# dedup keys per graph table (identity columns — same keys the batch
+# pipeline's writers use)
+TABLE_KEYS: dict[str, list[str]] = {
+    "nodes": ["entity_id"],
+    "identifiers": ["value", "id_type"],
+    "facts": ["fact_id"],
+    "sources": ["source_id"],
+    "edges": ["src", "edge_type", "dst", "pred"],
+}
+
+
+def assimilate_batch(pages: DataFrame, graph_dir: str) -> dict[str, int]:
+    """Run the extraction->link->materialize stages on one batch of pages
+    and idempotently append into the graph tables under ``graph_dir``.
+
+    Returns per-table appended-row counts. Reused by both the streaming
+    ``foreachBatch`` hook and ad-hoc incremental loads.
+    """
+    spark = pages.sparkSession
+    docs = stage_extract(pages)
+    mentions = stage_mentions(docs)
+    mapping = canonical_mapping(mentions)
+    linked = stage_link(docs, mentions, mapping)
+    mentions_mapped = mentions.join(mapping, "anchor_id").select(
+        "url", "mention_rank", "id_type", "id_value", "entity_id", "warc_ts"
+    )
+    tables = build_graph_tables(linked, mentions_mapped)
+
+    appended: dict[str, int] = {}
+    for name in GRAPH_TABLES:
+        path = os.path.join(graph_dir, name)
+        existing = None
+        if os.path.exists(path):
+            existing = spark.read.parquet(path)
+        rows = idempotent_append(tables[name], existing, TABLE_KEYS[name])
+        # count once, write once: cache the delta (it is small per batch)
+        rows = rows.cache()
+        n = rows.count()
+        if n:
+            rows.write.mode("append").parquet(path)
+        rows.unpersist()
+        appended[name] = n
+    return appended
+
+
+def read_pages_stream(spark: SparkSession, pages_dir: str, max_files: int | None = None) -> DataFrame:
+    """File-source stream of PAGES parquet — new files become micro-batches."""
+    reader = spark.readStream.schema(PAGES)
+    if max_files is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files))
+    return reader.parquet(pages_dir)
+
+
+def start_assimilation(
+    spark: SparkSession,
+    pages_dir: str,
+    graph_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Start the incremental assimilation stream.
+
+    ``available_now=True`` drains what exists and stops (deterministic —
+    used by tests and backfills); ``False`` runs continuously. The
+    streaming checkpoint tracks consumed files; the idempotent writer
+    makes replays harmless — the two layers together give exactly-once
+    tables on top of an at-least-once source.
+    """
+    stream = read_pages_stream(spark, pages_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        assimilate_batch(batch_df, graph_dir)
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def page_rate(
+    pages_stream: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked event-time rollup: pages per (lang, warc_ts window).
+
+    Late pages beyond the watermark are dropped; within it, counts are
+    updated in place (stateful windowed agg). Works on a static frame
+    too (window + groupBy are the same expression).
+    """
+    return (
+        pages_stream.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window_duration).alias("w"), "lang")
+        .agg(F.count("*").alias("n_pages"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "lang",
+            "n_pages",
+        )
+    )

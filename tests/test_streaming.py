@@ -1,0 +1,113 @@
+"""Structured-Streaming incremental assimilation tests: micro-batched
+ingest lands the same graph as the batch pipeline, replays append
+nothing (exactly-once via the idempotent writer), and watermarked
+event-time rollups aggregate correctly."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from nous_spark.datagen import generate_pages
+from nous_spark.pipeline import GRAPH_TABLES
+from nous_spark.streaming import (
+    TABLE_KEYS,
+    assimilate_batch,
+    page_rate,
+    read_pages_stream,
+    start_assimilation,
+)
+
+N_PAGES = 40
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    return {
+        "pages": str(tmp_path / "pages"),
+        "graph": str(tmp_path / "graph"),
+        "cp": str(tmp_path / "cp"),
+    }
+
+
+def _write_pages(spark, dirs, lo: int, hi: int) -> None:
+    """Materialize pages [lo, hi) as one new file in the stream dir."""
+    pages = generate_pages(spark, hi, seed=42).filter(
+        F.col("url") >= f"https://example.org/p/{lo:012d}"
+    )
+    pages.coalesce(1).write.mode("append").parquet(dirs["pages"])
+
+
+def _drain(spark, dirs) -> None:
+    q = start_assimilation(spark, dirs["pages"], dirs["graph"], dirs["cp"])
+    q.awaitTermination(120)
+
+
+def _counts(spark, dirs) -> dict[str, int]:
+    out = {}
+    for t in GRAPH_TABLES:
+        p = os.path.join(dirs["graph"], t)
+        out[t] = spark.read.parquet(p).count() if os.path.exists(p) else 0
+    return out
+
+
+def test_stream_matches_batch_and_is_exactly_once(spark, dirs):
+    # micro-batch 1: pages [0, 20); micro-batch 2: pages [20, 40)
+    _write_pages(spark, dirs, 0, 20)
+    _drain(spark, dirs)
+    first = _counts(spark, dirs)
+    assert first["edges"] > 0
+
+    _write_pages(spark, dirs, 20, N_PAGES)
+    _drain(spark, dirs)
+    streamed = _counts(spark, dirs)
+    assert streamed["edges"] > first["edges"]
+
+    # re-drain with nothing new: zero growth (checkpoint + idempotency)
+    _drain(spark, dirs)
+    assert _counts(spark, dirs) == streamed
+
+    # replay the WHOLE corpus through the non-stream path: still no dups
+    all_pages = generate_pages(spark, N_PAGES, seed=42)
+    appended = assimilate_batch(all_pages, dirs["graph"])
+    assert all(v == 0 for v in appended.values()), appended
+
+    # per-table key uniqueness audit
+    for t in GRAPH_TABLES:
+        df = spark.read.parquet(os.path.join(dirs["graph"], t))
+        assert df.count() == df.dropDuplicates(TABLE_KEYS[t]).count(), t
+
+    # equivalence: streamed edges == batch-in-one-go edges
+    batch_dir = dirs["graph"] + "_batch"
+    shutil.rmtree(batch_dir, ignore_errors=True)
+    assimilate_batch(all_pages, batch_dir)
+    streamed_edges = spark.read.parquet(os.path.join(dirs["graph"], "edges"))
+    batch_edges = spark.read.parquet(os.path.join(batch_dir, "edges"))
+    key = [F.col(k) for k in TABLE_KEYS["edges"]]
+    assert (
+        streamed_edges.select(*key).exceptAll(batch_edges.select(*key)).count() == 0
+        and batch_edges.select(*key).exceptAll(streamed_edges.select(*key)).count() == 0
+    )
+
+
+def test_page_rate_watermarked_rollup(spark, dirs):
+    _write_pages(spark, dirs, 0, 20)
+    stream = read_pages_stream(spark, dirs["pages"])
+    assert stream.isStreaming
+    q = (
+        page_rate(stream, "1 hour", "2 hours")
+        .writeStream.format("memory")
+        .queryName("page_rate_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select sum(n_pages) as n from page_rate_test").first()["n"]
+    assert got == 20
+    # static-frame parity: same expression over a batch read
+    static = page_rate(spark.read.parquet(dirs["pages"]), "1 hour", "2 hours")
+    assert static.agg(F.sum("n_pages")).first()[0] == 20
