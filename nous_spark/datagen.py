@@ -93,8 +93,14 @@ def _persona(i: int, rng: random.Random) -> tuple[str, str, str]:
     )
 
 
-def gen_row(i: int, seed: int = 42) -> tuple[dict, list[dict]]:
-    """Pure function (index, seed) -> (page row, expected-triple rows)."""
+def gen_row(i: int, seed: int = 42, fill_sentences: int = 0) -> tuple[dict, list[dict]]:
+    """Pure function (index, seed) -> (page row, expected-triple rows).
+
+    ``fill_sentences`` appends that many neutral (pattern-free) sentences
+    to every page — web pages are mostly boilerplate, and the fill makes
+    the extraction cost per page realistic for benchmarking. Fill adds no
+    expected triples and matches no lexicon pattern, so P/R is unchanged.
+    """
     rng = random.Random((seed << 32) ^ i)
     kind = i % 10
     url = f"https://example.org/p/{i:012d}"
@@ -158,6 +164,10 @@ def gen_row(i: int, seed: int = 42) -> tuple[dict, list[dict]]:
         text = f"Identity: email:{email}\n{rng.choice(_NOISE)} {rng.choice(_NOISE)}"
         lang = "en"
 
+    if fill_sentences > 0:
+        fill = " ".join(rng.choice(_NOISE) for _ in range(fill_sentences))
+        text = f"{text}\n{fill}"
+
     page = {
         "url": url,
         "warc_ts": warc_ts,
@@ -168,12 +178,14 @@ def gen_row(i: int, seed: int = 42) -> tuple[dict, list[dict]]:
     return page, expected
 
 
-def generate_pages(spark: SparkSession, n_pages: int, seed: int = 42) -> DataFrame:
+def generate_pages(
+    spark: SparkSession, n_pages: int, seed: int = 42, fill_sentences: int = 0
+) -> DataFrame:
     """Distributed, deterministic pages table."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [gen_row(int(i), seed)[0] for i in pdf["id"]]
+            rows = [gen_row(int(i), seed, fill_sentences)[0] for i in pdf["id"]]
             yield pd.DataFrame(rows, columns=[f.name for f in PAGES.fields])
 
     parallelism = spark.sparkContext.defaultParallelism

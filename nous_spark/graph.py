@@ -36,13 +36,19 @@ DERIVED_FROM = "DERIVED_FROM"
 # materialization
 # --------------------------------------------------------------------------
 def build_graph_tables(
-    linked_triples: DataFrame, linked_mentions: DataFrame
+    linked_triples: DataFrame, linked_mentions: DataFrame, n_salts: int = 0
 ) -> dict[str, DataFrame]:
     """From linked triples/mentions, derive the five graph tables.
 
     linked_triples: (entity_id, pred, fact_type, fact_name, fact_id,
                      confidence, source_url, warc_ts, text?)
     linked_mentions: (url, mention_rank, id_type, id_value, entity_id, warc_ts)
+
+    ``n_salts > 1`` turns the HAS_FACT merge into an explicit two-phase
+    salted aggregation on the head-entity key (north_rule): partial
+    min/max per (edge key, salt) spread hot entities ("Location:Paris"
+    fan-in) over n_salts reducers before the final per-key merge.
+    Results are identical either way — the salt affects placement only.
     """
     nodes = (
         linked_mentions.groupBy("entity_id")
@@ -64,35 +70,87 @@ def build_graph_tables(
         F.col("warc_ts").alias("ts"),
     ).dropDuplicates(["source_id"])
 
-    has_identifier = linked_mentions.select(
-        F.col("entity_id").alias("src"),
-        F.lit(HAS_IDENTIFIER).alias("edge_type"),
-        F.concat_ws(":", "id_type", "id_value").alias("dst"),
-        F.lit(None).cast("string").alias("pred"),
-        F.lit(None).cast("double").alias("confidence"),
-        (F.col("mention_rank") == 0).alias("is_primary"),
-        F.col("warc_ts").alias("created_at"),
-    ).dropDuplicates(["src", "dst"])
+    # Edge dedup is AGGREGATING, not row-picking: duplicates of one edge
+    # key differ in created_at (many pages assert the same edge), and
+    # dropDuplicates keeps an arbitrary row — nondeterministic across
+    # runs/parallelism, which breaks the resume/byte-identity contract.
+    # Deterministic merge instead: earliest created_at (the reference's
+    # idempotent create keeps the first edge, age_repository.py:101-123),
+    # max confidence, ever-primary wins.
+    has_identifier = (
+        linked_mentions.groupBy(
+            F.col("entity_id").alias("src"),
+            F.concat_ws(":", "id_type", "id_value").alias("dst"),
+        )
+        .agg(
+            F.max(F.col("mention_rank") == 0).alias("is_primary"),
+            F.min("warc_ts").alias("created_at"),
+        )
+        .select(
+            "src",
+            F.lit(HAS_IDENTIFIER).alias("edge_type"),
+            "dst",
+            F.lit(None).cast("string").alias("pred"),
+            F.lit(None).cast("double").alias("confidence"),
+            "is_primary",
+            "created_at",
+        )
+    )
 
-    has_fact = linked_triples.select(
-        F.col("entity_id").alias("src"),
-        F.lit(HAS_FACT).alias("edge_type"),
-        F.col("fact_id").alias("dst"),
-        "pred",
-        "confidence",
-        F.lit(None).cast("boolean").alias("is_primary"),
-        F.col("warc_ts").alias("created_at"),
-    ).dropDuplicates(["src", "dst", "pred"])
+    if n_salts > 1:
+        from nous_spark.skew import with_salt
 
-    derived_from = linked_triples.select(
-        F.col("fact_id").alias("src"),
-        F.lit(DERIVED_FROM).alias("edge_type"),
-        F.col("source_url").alias("dst"),
-        F.lit(None).cast("string").alias("pred"),
-        F.lit(None).cast("double").alias("confidence"),
-        F.lit(None).cast("boolean").alias("is_primary"),
-        F.col("warc_ts").alias("created_at"),
-    ).dropDuplicates(["src", "dst"])
+        partial = (
+            with_salt(linked_triples, n_salts)
+            .groupBy(
+                F.col("entity_id").alias("src"),
+                F.col("fact_id").alias("dst"),
+                "pred",
+                "_salt",
+            )
+            .agg(
+                F.max("confidence").alias("_conf"),
+                F.min("warc_ts").alias("_ts"),
+            )
+        )
+        hf_merged = partial.groupBy("src", "dst", "pred").agg(
+            F.max("_conf").alias("confidence"), F.min("_ts").alias("created_at")
+        )
+    else:
+        hf_merged = linked_triples.groupBy(
+            F.col("entity_id").alias("src"), F.col("fact_id").alias("dst"), "pred"
+        ).agg(
+            F.max("confidence").alias("confidence"),
+            F.min("warc_ts").alias("created_at"),
+        )
+    has_fact = (
+        hf_merged
+        .select(
+            "src",
+            F.lit(HAS_FACT).alias("edge_type"),
+            "dst",
+            "pred",
+            "confidence",
+            F.lit(None).cast("boolean").alias("is_primary"),
+            "created_at",
+        )
+    )
+
+    derived_from = (
+        linked_triples.groupBy(
+            F.col("fact_id").alias("src"), F.col("source_url").alias("dst")
+        )
+        .agg(F.min("warc_ts").alias("created_at"))
+        .select(
+            "src",
+            F.lit(DERIVED_FROM).alias("edge_type"),
+            "dst",
+            F.lit(None).cast("string").alias("pred"),
+            F.lit(None).cast("double").alias("confidence"),
+            F.lit(None).cast("boolean").alias("is_primary"),
+            "created_at",
+        )
+    )
 
     edges = has_identifier.unionByName(has_fact).unionByName(derived_from)
     return {

@@ -28,36 +28,64 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nous_spark.extraction.html import extract_text_udf
-from nous_spark.extraction.mentions import extract_mentions_udf
-from nous_spark.extraction.triples import extract_triples_udf
+from nous_spark.extraction.html import extract_text_str
+from nous_spark.extraction.mentions import extract_mentions_text
+from nous_spark.extraction.triples import extract_triples_text
 from nous_spark.graph import build_graph_tables
 from nous_spark.linking import canonical_mapping, with_anchor_id
 from nous_spark.normalize import fact_id_col
-from nous_spark.skew import salted_distinct
 
 GRAPH_TABLES = ("nodes", "identifiers", "facts", "sources", "edges")
+
+DOCS_SCHEMA = (
+    "url string, warc_ts timestamp, lang string, text string, "
+    "mentions array<struct<id_type:string,id_value:string>>, "
+    "triples array<struct<pred:string,fact_type:string,fact_name:string,confidence:double>>"
+)
 
 
 # --------------------------------------------------------------------------
 # stage transforms (pure)
 # --------------------------------------------------------------------------
 def stage_extract(pages: DataFrame) -> DataFrame:
-    """html -> text (byte-identical per url), mentions, triples — one pass,
-    all Arrow-batched pandas UDFs, no shuffle."""
-    return pages.select(
-        "url",
-        "warc_ts",
-        "lang",
-        extract_text_udf(F.col("html")).alias("text"),
-    ).select(
-        "url",
-        "warc_ts",
-        "lang",
-        "text",
-        extract_mentions_udf(F.col("text")).alias("mentions"),
-        extract_triples_udf(F.col("text")).alias("triples"),
-    )
+    """html -> text (byte-identical per url) + mentions + triples in ONE
+    Arrow-batched mapInPandas pass, no shuffle.
+
+    Fused deliberately: three chained pandas UDFs would each get their
+    own PythonRunner (3 Python workers per task — measured 3.5x CPU
+    inflation at local[32] from worker fork+import costs alone). One
+    fused pass means one worker per task and one Arrow round trip: the
+    html bytes never cross the JVM<->Python boundary more than once.
+    """
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            texts = [extract_text_str(h) for h in pdf["html"]]
+            mentions = [
+                [{"id_type": a, "id_value": b} for (a, b) in extract_mentions_text(t)]
+                for t in texts
+            ]
+            triples = [
+                [
+                    {"pred": p, "fact_type": ft, "fact_name": fn, "confidence": c}
+                    for (p, ft, fn, c) in extract_triples_text(t)
+                ]
+                for t in texts
+            ]
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "warc_ts": pdf["warc_ts"],
+                    "lang": pdf["lang"],
+                    "text": texts,
+                    "mentions": mentions,
+                    "triples": triples,
+                }
+            )
+
+    return pages.select("url", "warc_ts", "lang", "html").mapInPandas(gen, DOCS_SCHEMA)
 
 
 def stage_mentions(docs: DataFrame) -> DataFrame:
@@ -105,15 +133,9 @@ def stage_link(docs: DataFrame, mentions: DataFrame, mapping: DataFrame) -> Data
 
 
 def stage_materialize(linked_triples: DataFrame, mentions_mapped: DataFrame, n_salts: int = 16) -> dict[str, DataFrame]:
-    tables = build_graph_tables(linked_triples, mentions_mapped)
-    # hot-entity skew: HAS_FACT dedup keys concentrate on head entities and
-    # head facts ("Location:Paris") — pre-spread with a salted two-phase dedup.
-    edges = tables["edges"]
-    hf = edges.filter(F.col("edge_type") == "HAS_FACT")
-    other = edges.filter(F.col("edge_type") != "HAS_FACT")
-    hf = salted_distinct(hf, ["src", "dst", "pred"], n_salts)
-    tables["edges"] = other.unionByName(hf.select(*other.columns))
-    return tables
+    """Materialize the five graph tables; HAS_FACT merging runs as the
+    explicit two-phase salted aggregation (hot-entity skew, north_rule)."""
+    return build_graph_tables(linked_triples, mentions_mapped, n_salts=n_salts)
 
 
 # --------------------------------------------------------------------------
@@ -123,6 +145,8 @@ class Run:
     """A checkpointed pipeline run rooted at ``out_dir``."""
 
     def __init__(self, spark: SparkSession, out_dir: str, run_id: str = "run"):
+        import threading
+
         self.spark = spark
         self.out_dir = out_dir
         self.run_id = run_id
@@ -130,6 +154,7 @@ class Run:
         os.makedirs(out_dir, exist_ok=True)
         self.manifest = self._load_manifest()
         self.metrics: list[dict] = []
+        self._lock = threading.Lock()  # checkpoint() may run concurrently
 
     def _load_manifest(self) -> dict:
         if os.path.exists(self.manifest_path):
@@ -150,10 +175,13 @@ class Run:
         return os.path.join(self.out_dir, stage)
 
     def read(self, stage: str) -> DataFrame:
-        return self.spark.read.parquet(self.path(stage))
+        from nous_spark.io import read_table
+
+        return read_table(self.spark, self.path(stage))
 
     def checkpoint(self, stage: str, df: DataFrame) -> DataFrame:
-        """Materialize a stage: write parquet once, mark done, read back.
+        """Materialize a stage: write the stage table once (io.py seam —
+        parquet here, Iceberg on a cluster), mark done, read back.
 
         If the stage is already done (resume), the compute is skipped
         entirely and the stored result is returned — zero recompute.
@@ -161,25 +189,34 @@ class Run:
         if self.done(stage):
             return self.read(stage)
         t0 = time.time()
+        from pyspark.sql import Observation
+
+        from nous_spark.io import write_table
+
         path = self.path(stage)
-        df.write.mode("overwrite").parquet(path)
-        out = self.spark.read.parquet(path)
-        rows_out = out.count()
-        self.metrics.append(
-            {
-                "run_id": self.run_id,
-                "stage": stage,
-                "partition_id": None,
-                "rows_in": None,
-                "rows_out": rows_out,
-                "started_at": dt.datetime.fromtimestamp(t0, dt.timezone.utc),
-                "finished_at": dt.datetime.now(dt.timezone.utc),
-                "status": "ok",
-                "error_type": None,
-            }
-        )
-        self.manifest["stages"][stage] = {"rows": rows_out, "finished": time.time()}
-        self._save_manifest()
+        # row count piggybacks on the write job via the Observation API —
+        # no separate count job per stage (driver-serial jobs are the
+        # scaling-efficiency tax at small corpus sizes).
+        obs = Observation(f"ckpt_{stage}")
+        write_table(df.observe(obs, F.count(F.lit(1)).alias("rows")), path, mode="overwrite")
+        rows_out = int(obs.get["rows"])
+        out = self.read(stage)
+        with self._lock:
+            self.metrics.append(
+                {
+                    "run_id": self.run_id,
+                    "stage": stage,
+                    "partition_id": None,
+                    "rows_in": None,
+                    "rows_out": rows_out,
+                    "started_at": dt.datetime.fromtimestamp(t0, dt.timezone.utc),
+                    "finished_at": dt.datetime.now(dt.timezone.utc),
+                    "status": "ok",
+                    "error_type": None,
+                }
+            )
+            self.manifest["stages"][stage] = {"rows": rows_out, "finished": time.time()}
+            self._save_manifest()
         return out
 
     def write_lineage(self, stage: str, df: DataFrame) -> None:
@@ -218,13 +255,31 @@ def run_pipeline(
     mapping = run.checkpoint("canonical", stage_canonical(mentions, alias_dict))
     linked = run.checkpoint("triples", stage_link(docs, mentions, mapping))
 
-    mentions_mapped = mentions.join(mapping, "anchor_id").select(
-        "url", "mention_rank", "id_type", "id_value", "entity_id", "warc_ts"
+    # mentions x mapping feeds three of the five graph tables — persist it
+    # once instead of recomputing the join per table job.
+    mentions_mapped = (
+        mentions.join(mapping, "anchor_id")
+        .select("url", "mention_rank", "id_type", "id_value", "entity_id", "warc_ts")
+        .persist()
     )
     tables = stage_materialize(linked, mentions_mapped, n_salts=n_salts)
+    # The five graph tables are independent given (linked, mentions_mapped):
+    # submit their jobs CONCURRENTLY (Spark's scheduler interleaves them
+    # across the executor pool) instead of serializing five small writes —
+    # cuts the materialize wall to ~max(table) instead of sum(table).
+    from concurrent.futures import ThreadPoolExecutor
+
     out = {}
-    for name in GRAPH_TABLES:
-        out[name] = run.checkpoint(f"graph_{name}", tables[name])
+    try:
+        with ThreadPoolExecutor(max_workers=len(GRAPH_TABLES)) as pool:
+            futs = {
+                name: pool.submit(run.checkpoint, f"graph_{name}", tables[name])
+                for name in GRAPH_TABLES
+            }
+            for name, fut in futs.items():
+                out[name] = fut.result()
+    finally:
+        mentions_mapped.unpersist()
     run.write_lineage("triples", linked)
     run.flush_metrics()
     return out

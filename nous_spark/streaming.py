@@ -32,7 +32,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nous_spark.graph import build_graph_tables, idempotent_append
+from nous_spark.graph import build_graph_tables
+from nous_spark.io import idempotent_write
 from nous_spark.pipeline import GRAPH_TABLES, stage_extract, stage_link, stage_mentions
 from nous_spark.linking import canonical_mapping
 from nous_spark.schemas import PAGES
@@ -55,7 +56,6 @@ def assimilate_batch(pages: DataFrame, graph_dir: str) -> dict[str, int]:
     Returns per-table appended-row counts. Reused by both the streaming
     ``foreachBatch`` hook and ad-hoc incremental loads.
     """
-    spark = pages.sparkSession
     docs = stage_extract(pages)
     mentions = stage_mentions(docs)
     mapping = canonical_mapping(mentions)
@@ -68,17 +68,7 @@ def assimilate_batch(pages: DataFrame, graph_dir: str) -> dict[str, int]:
     appended: dict[str, int] = {}
     for name in GRAPH_TABLES:
         path = os.path.join(graph_dir, name)
-        existing = None
-        if os.path.exists(path):
-            existing = spark.read.parquet(path)
-        rows = idempotent_append(tables[name], existing, TABLE_KEYS[name])
-        # count once, write once: cache the delta (it is small per batch)
-        rows = rows.cache()
-        n = rows.count()
-        if n:
-            rows.write.mode("append").parquet(path)
-        rows.unpersist()
-        appended[name] = n
+        appended[name] = idempotent_write(tables[name], path, TABLE_KEYS[name])
     return appended
 
 

@@ -5,9 +5,9 @@ from __future__ import annotations
 from nous_spark.cc import connected_components
 
 
-def _components(spark, edges):
+def _components(spark, edges, **kw):
     df = spark.createDataFrame(edges, "src string, dst string")
-    rows = connected_components(df).collect()
+    rows = connected_components(df, **kw).collect()
     return {r["id"]: r["component"] for r in rows}
 
 
@@ -46,3 +46,16 @@ def test_deterministic_representative(spark):
     comp2 = _components(spark, [("b", "q"), ("q", "m"), ("m", "z")])
     assert comp1 == comp2
     assert set(comp1.values()) == {"b"}
+
+
+def test_driver_and_distributed_paths_agree(spark):
+    """The size-adaptive shortcut must be observationally identical to
+    the large-star/small-star loop on the same graph."""
+    import random
+
+    rng = random.Random(13)
+    nodes = [f"v{i:03d}" for i in range(120)]
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(150)]
+    fast = _components(spark, edges)  # driver union-find (under threshold)
+    slow = _components(spark, edges, driver_threshold=0)  # forced distributed
+    assert fast == slow
