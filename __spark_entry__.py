@@ -283,6 +283,25 @@ def _q_emb_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dups_exact(_t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+def _q_kg_salted_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 collect(DISTINCT ...) via the explicit two-phase SALTED collect
+    (skew.py) — hot fact keys ('Segment:BUILDING' fans in from ~1/5 of
+    all customers) spread over salt buckets before the final merge. The
+    salt never changes results: the oracle is plain DISTINCT list_agg."""
+    from nous_spark.skew import salted_collect_set
+
+    hf = (
+        tpch_edges(spark, sf_dir)
+        .filter(F.col("edge_type") == "HAS_FACT")
+        .select(F.col("dst").alias("fact_id"), F.col("pred").alias("pred"))
+    )
+    out = salted_collect_set(hf, ["fact_id"], "pred", n_salts=8, out_col="preds")
+    return out.select(
+        "fact_id",
+        F.concat_ws(",", F.sort_array(F.col("preds"))).alias("preds"),
+    )
+
+
 # ----------------------------- non-SQL-expressible (rows-only check) -------
 def _q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dups(_t(spark, sf_dir, "documents"), threshold=0.5)
@@ -411,6 +430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_primary_identifier": _q_kg_primary_identifier,
         "kg_entity_summary": _q_kg_entity_summary,
         "emb_near_dup_exact": _q_emb_near_dup_exact,
+        "kg_salted_collect": _q_kg_salted_collect,
         # rows-only (non-SQL-expressible: seeded sketches / UDF heuristics)
         "doc_minhash_near_dups": _q_minhash_near_dups,
         "doc_simhash_near_dups": _q_simhash_near_dups,
@@ -601,5 +621,12 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[],
                                          b.embedding::DOUBLE[]) >= 0.4
+        """,
+        "kg_salted_collect": f"""
+            WITH edges AS ({EDGES_SQL})
+            SELECT dst AS fact_id,
+                   array_to_string(list_sort(list(DISTINCT pred)), ',') AS preds
+            FROM edges WHERE edge_type = 'HAS_FACT'
+            GROUP BY dst
         """,
     }

@@ -267,6 +267,28 @@ def rag_recall_debug(
 
 
 # ---------------------------------------------------------------------------
+# vector mirror maintenance (H5)
+# ---------------------------------------------------------------------------
+def remove_relationship_vector(
+    embeddings: DataFrame, tenant_id: str, entity_id: str, verb: str, fid: str
+) -> DataFrame:
+    """Delete one point by its deterministic id (qdrant_repository.py:254-281:
+    the reference deletes by recomputing uuid5, never by scan)."""
+    pid = point_id_for(tenant_id, entity_id, verb, fid)
+    return embeddings.filter(F.col("point_id") != pid)
+
+
+def remove_entity_vectors(
+    embeddings: DataFrame, entity_id: str
+) -> tuple[DataFrame, int]:
+    """Delete all points of an entity, returning (remaining, n_deleted) —
+    the delete-all-by-entity with pre-count (qdrant_repository.py:293-325,
+    count at :311-315). Called by the entity cascade-delete job (H3)."""
+    n = embeddings.filter(F.col("entity_id") == entity_id).count()
+    return embeddings.filter(F.col("entity_id") != entity_id), n
+
+
+# ---------------------------------------------------------------------------
 # summarization (G3 as template aggregation)
 # ---------------------------------------------------------------------------
 NO_FACTS_SUMMARY = "This entity has no recorded facts in the knowledge graph."

@@ -154,6 +154,20 @@ def test_rag_debug_metrics(graph, embeddings):
     assert dbg["vector_search_ms"] > 0 and dbg["graph_verify_ms"] > 0
 
 
+# ------------------------------------------------- vector mirror maintenance
+def test_vector_mirror_deletes(graph, embeddings):
+    from nous_spark.semantic import remove_entity_vectors, remove_relationship_vector
+
+    one_gone = remove_relationship_vector(
+        embeddings, "default", "eA", "enjoys", "Hobby:Hiking"
+    )
+    assert one_gone.count() == embeddings.count() - 1
+    remaining, n_deleted = remove_entity_vectors(embeddings, "eA")
+    assert n_deleted == 3
+    assert remaining.filter(F.col("entity_id") == "eA").count() == 0
+    assert remaining.count() == embeddings.count() - 3
+
+
 # ------------------------------------------------------------- summaries
 def test_summary_qualifiers(graph):
     edges, facts = graph
