@@ -100,16 +100,33 @@ def clamp_confidence(c: float | None) -> float:
 
 
 # ------------------------------------------------------------- column side
+# Spark's trim() strips ONLY ASCII space; the reference strips via Python
+# str.strip(), which removes every char where str.isspace() is True —
+# including \x1c-\x1f, \x85, NBSP and the Unicode Zs block. Byte-exact
+# parity (found by hypothesis in tests/test_properties.py) requires a
+# regex with exactly Python's whitespace set.
+_PY_SPACE_CLASS = (
+    "[\\t\\n\\x0B\\f\\r\\x1C-\\x1F \\x85\\xA0\\u1680\\u2000-\\u200A"
+    "\\u2028\\u2029\\u202F\\u205F\\u3000]"
+)
+_PY_STRIP_RE = f"^{_PY_SPACE_CLASS}+|{_PY_SPACE_CLASS}+$"
+
+
+def py_strip_col(c: Column) -> Column:
+    """Column equivalent of Python str.strip() (byte-exact)."""
+    return F.regexp_replace(c, _PY_STRIP_RE, "")
+
+
 def norm_name_col(c: Column) -> Column:
-    return F.trim(c)
+    return py_strip_col(c)
 
 
 def norm_type_col(c: Column) -> Column:
-    return F.trim(c)
+    return py_strip_col(c)
 
 
 def norm_verb_col(c: Column) -> Column:
-    return F.lower(F.trim(c))
+    return F.lower(py_strip_col(c))
 
 
 def fact_id_col(fact_type: Column, name: Column) -> Column:

@@ -1,0 +1,119 @@
+"""Property-based hardening (hypothesis) of the invariants the engine's
+correctness rests on:
+
+  * extract_text_str is idempotent and whitespace-canonical (html.py's
+    stated property — what guarantees byte-identity per url);
+  * the Python and Column forms of every normalization rule agree
+    (normalize.py is the single identity definition for triples);
+  * extraction is a pure function (same text -> same triples);
+  * driver union-find CC and the distributed large-star/small-star CC
+    agree on arbitrary random graphs (cc.py's shortcut contract);
+  * embeddings are unit-norm and text-determined.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from nous_spark.extraction.html import extract_text_str
+from nous_spark.extraction.triples import extract_triples_text
+from nous_spark.normalize import fact_id, norm_name, norm_verb
+from nous_spark.semantic import embed_text
+
+TEXTISH = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=400
+)
+
+
+@given(TEXTISH)
+@settings(max_examples=200, deadline=None)
+def test_extract_text_idempotent(s):
+    once = extract_text_str(s)
+    assert extract_text_str(once) == once
+
+
+@given(st.binary(max_size=400))
+@settings(max_examples=100, deadline=None)
+def test_extract_text_total_on_bytes(b):
+    out = extract_text_str(b)  # must never throw (errors='replace')
+    assert isinstance(out, str)
+    for line in out.split("\n"):
+        assert line == line.strip() and "  " not in line
+
+
+@given(TEXTISH)
+@settings(max_examples=100, deadline=None)
+def test_extraction_pure_and_normalized(s):
+    a = extract_triples_text(s)
+    assert a == extract_triples_text(s)
+    for pred, ftype, name, conf in a:
+        assert pred == norm_verb(pred)  # already lower+stripped
+        assert name == norm_name(name) and name
+        assert ftype and ftype == ftype.strip()
+        assert 0.0 <= conf <= 1.0
+    # within-document triple dedup
+    keys = [t[:3] for t in a]
+    assert len(keys) == len(set(keys))
+
+
+@given(st.text(max_size=50), st.text(max_size=50))
+@settings(max_examples=100, deadline=None)
+def test_fact_id_is_injective_modulo_colon(t, n):
+    fid = fact_id(t, n)
+    assert fid == f"{t}:{n}"
+    head, _, tail = fid.partition(":")
+    if ":" not in t:
+        assert head == t and tail == n
+
+
+@given(st.text(max_size=120))
+@settings(max_examples=100, deadline=None)
+def test_embedding_unit_norm_or_zero(s):
+    v = embed_text(s, dim=64)
+    n = float(np.linalg.norm(v))
+    assert abs(n - 1.0) < 1e-4 or n == 0.0
+    assert np.array_equal(v, embed_text(s, dim=64))
+
+
+# ---------------------------------------------------------------- spark-side
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_cc_paths_agree_on_random_graphs(spark, pairs):
+    from nous_spark.cc import connected_components
+
+    edges = spark.createDataFrame(
+        [(f"n{a:02d}", f"n{b:02d}") for a, b in pairs], "src string, dst string"
+    )
+    fast = {
+        r["id"]: r["component"] for r in connected_components(edges).collect()
+    }
+    slow = {
+        r["id"]: r["component"]
+        for r in connected_components(edges, driver_threshold=0).collect()
+    }
+    assert fast == slow
+
+
+@given(st.lists(st.text(max_size=30), min_size=1, max_size=20))
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_normalize_python_column_agreement(spark, values):
+    """trim/lower rules: pandas-free Column path == pure-Python path."""
+    from pyspark.sql import functions as F
+
+    from nous_spark.normalize import norm_name_col, norm_verb_col
+
+    df = spark.createDataFrame([(v,) for v in values], "s string")
+    got = df.select(
+        norm_name_col(F.col("s")).alias("n"), norm_verb_col(F.col("s")).alias("v")
+    ).collect()
+    for row, v in zip(got, values):
+        assert row["n"] == v.strip()
+        assert row["v"] == v.strip().lower()
