@@ -283,6 +283,16 @@ def _q_emb_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dups_exact(_t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+def _q_kg_expand_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hop neighborhood expansion (the rag_expand_hops semantics the
+    reference reserves): entities sharing a fact with Customer#1."""
+    from nous_spark.graph import expand_hops
+
+    edges = tpch_edges(spark, sf_dir)
+    e0 = find_entity_by_identifier(edges, "username", "Customer#000000001")
+    return expand_hops(edges, e0, hops=1)
+
+
 def _q_kg_salted_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D1 collect(DISTINCT ...) via the explicit two-phase SALTED collect
     (skew.py) — hot fact keys ('Segment:BUILDING' fans in from ~1/5 of
@@ -431,6 +441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_summary": _q_kg_entity_summary,
         "emb_near_dup_exact": _q_emb_near_dup_exact,
         "kg_salted_collect": _q_kg_salted_collect,
+        "kg_expand_hops": _q_kg_expand_hops,
         # rows-only (non-SQL-expressible: seeded sketches / UDF heuristics)
         "doc_minhash_near_dups": _q_minhash_near_dups,
         "doc_simhash_near_dups": _q_simhash_near_dups,
@@ -628,5 +639,27 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list_sort(list(DISTINCT pred)), ',') AS preds
             FROM edges WHERE edge_type = 'HAS_FACT'
             GROUP BY dst
+        """,
+        "kg_expand_hops": f"""
+            WITH edges AS ({EDGES_SQL}),
+            e0 AS (
+              SELECT DISTINCT src AS entity_id FROM edges
+              WHERE edge_type = 'HAS_IDENTIFIER'
+                AND dst = 'username:Customer#000000001'
+            ),
+            hf AS (
+              SELECT src AS entity_id, dst AS fact_id FROM edges
+              WHERE edge_type = 'HAS_FACT'
+            ),
+            d1 AS (
+              SELECT DISTINCT h2.entity_id
+              FROM e0
+              JOIN hf h1 ON h1.entity_id = e0.entity_id
+              JOIN hf h2 ON h2.fact_id = h1.fact_id
+              WHERE h2.entity_id NOT IN (SELECT entity_id FROM e0)
+            )
+            SELECT entity_id, 0 AS depth FROM e0
+            UNION ALL
+            SELECT entity_id, 1 AS depth FROM d1
         """,
     }

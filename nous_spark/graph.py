@@ -271,6 +271,41 @@ def primary_identifier(edges: DataFrame) -> DataFrame:
     )
 
 
+def expand_hops(edges: DataFrame, entity_ids: DataFrame, hops: int = 1) -> DataFrame:
+    """N-hop neighborhood expansion over shared facts.
+
+    The reference accepts ``rag_expand_hops`` but leaves it reserved/
+    unimplemented (usecases/get_entity_usecase.py:121-122); here it is
+    real: hop k = entities sharing at least one fact with a hop-(k-1)
+    entity. Returns (entity_id, depth) with the MINIMUM depth per entity.
+
+    Driver loop of ``hops`` iterations (hops is a small request
+    parameter, not data-sized); each hop is two equi-joins — entity->fact
+    then fact->entity fan-in (C4) — plus an anti-join against the
+    visited set. Hot facts fan in massively at web scale: the fact->entity
+    join is exactly the skew-join AQE case (session.py enables it).
+    """
+    hf = edges.filter(F.col("edge_type") == HAS_FACT).select(
+        F.col("src").alias("entity_id"), F.col("dst").alias("fact_id")
+    )
+    visited = entity_ids.select("entity_id").dropDuplicates(["entity_id"]).withColumn(
+        "depth", F.lit(0)
+    )
+    frontier = visited
+    for h in range(1, hops + 1):
+        facts = frontier.join(hf, "entity_id").select("fact_id").dropDuplicates(["fact_id"])
+        nxt = (
+            facts.join(hf, "fact_id")
+            .select("entity_id")
+            .dropDuplicates(["entity_id"])
+            .join(visited, "entity_id", "left_anti")
+            .withColumn("depth", F.lit(h))
+        )
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    return visited
+
+
 # --------------------------------------------------------------------------
 # refcounted cascade GC (H3/H4)
 # --------------------------------------------------------------------------

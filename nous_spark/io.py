@@ -40,14 +40,31 @@ def read_table(spark: SparkSession, target: str, fmt: str | None = None) -> Data
     raise ValueError(f"unknown table format: {fmt}")
 
 
-def write_table(df: DataFrame, target: str, mode: str = "append", fmt: str | None = None) -> None:
-    """mode: append | overwrite."""
+def write_table(
+    df: DataFrame,
+    target: str,
+    mode: str = "append",
+    fmt: str | None = None,
+    partition_by: list[str] | None = None,
+) -> None:
+    """mode: append | overwrite. ``partition_by`` maps to hive-style
+    directory partitioning (parquet) / `PARTITIONED BY` (iceberg) — the
+    engine's physical-tenancy mechanism (one partition per tenant, the
+    analog of the reference's graph-per-tenant isolation,
+    signup_tenant_usecase.py:131-133)."""
     fmt = fmt or TABLE_FORMAT
     if fmt == "parquet":
-        df.write.mode(mode).parquet(target)
+        writer = df.write.mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(target)
         return
     if fmt == "iceberg":
         writer = df.writeTo(target)
+        if partition_by:
+            from pyspark.sql import functions as _F
+
+            writer = writer.partitionedBy(*[_F.col(c) for c in partition_by])
         if mode == "overwrite":
             writer.createOrReplace()
         else:

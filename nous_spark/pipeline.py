@@ -179,7 +179,9 @@ class Run:
 
         return read_table(self.spark, self.path(stage))
 
-    def checkpoint(self, stage: str, df: DataFrame) -> DataFrame:
+    def checkpoint(
+        self, stage: str, df: DataFrame, partition_by: list[str] | None = None
+    ) -> DataFrame:
         """Materialize a stage: write the stage table once (io.py seam —
         parquet here, Iceberg on a cluster), mark done, read back.
 
@@ -198,7 +200,12 @@ class Run:
         # no separate count job per stage (driver-serial jobs are the
         # scaling-efficiency tax at small corpus sizes).
         obs = Observation(f"ckpt_{stage}")
-        write_table(df.observe(obs, F.count(F.lit(1)).alias("rows")), path, mode="overwrite")
+        write_table(
+            df.observe(obs, F.count(F.lit(1)).alias("rows")),
+            path,
+            mode="overwrite",
+            partition_by=partition_by,
+        )
         rows_out = int(obs.get["rows"])
         out = self.read(stage)
         with self._lock:
@@ -246,8 +253,14 @@ def run_pipeline(
     run_id: str = "run",
     alias_dict: DataFrame | None = None,
     n_salts: int = 16,
+    tenant_id: str | None = None,
 ) -> dict[str, DataFrame]:
-    """Execute (or resume) the full pipeline; returns the graph tables."""
+    """Execute (or resume) the full pipeline; returns the graph tables.
+
+    ``tenant_id`` stamps every graph-table row and hive-partitions the
+    output on it — the physical-isolation analog of the reference's
+    graph-per-tenant (SURVEY.md §1.3); at 10^12 docs each tenant's
+    queries prune to its partition directories."""
     run = Run(spark, out_dir, run_id)
 
     docs = run.checkpoint("extract", stage_extract(pages))
@@ -269,11 +282,17 @@ def run_pipeline(
     # cuts the materialize wall to ~max(table) instead of sum(table).
     from concurrent.futures import ThreadPoolExecutor
 
+    if tenant_id is not None:
+        tables = {
+            name: t.withColumn("tenant_id", F.lit(tenant_id))
+            for name, t in tables.items()
+        }
+    part = ["tenant_id"] if tenant_id is not None else None
     out = {}
     try:
         with ThreadPoolExecutor(max_workers=len(GRAPH_TABLES)) as pool:
             futs = {
-                name: pool.submit(run.checkpoint, f"graph_{name}", tables[name])
+                name: pool.submit(run.checkpoint, f"graph_{name}", tables[name], part)
                 for name in GRAPH_TABLES
             }
             for name, fut in futs.items():

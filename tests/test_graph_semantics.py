@@ -167,6 +167,22 @@ def test_remove_shared_fact_keeps_fact_for_other_entity(spark, fixture_tables):
     assert {r["src"] for r in left} == {"eB"}
 
 
+def test_expand_hops_min_depth_and_frontier(spark, fixture_tables):
+    """1 hop from A reaches B (shared Hobby:Hiking); 0 hops is just A;
+    depth is the minimum per entity."""
+    from nous_spark.graph import expand_hops
+
+    edges = fixture_tables["edges"]
+    e0 = find_entity_by_identifier(edges, "email", "a@x.com")
+    zero = {(r["entity_id"], r["depth"]) for r in expand_hops(edges, e0, hops=0).collect()}
+    assert zero == {("eA", 0)}
+    one = {(r["entity_id"], r["depth"]) for r in expand_hops(edges, e0, hops=1).collect()}
+    assert one == {("eA", 0), ("eB", 1)}
+    # idempotent at fixpoint: more hops add nothing new here
+    two = {(r["entity_id"], r["depth"]) for r in expand_hops(edges, e0, hops=3).collect()}
+    assert two == one
+
+
 def test_primary_identifier_pick(spark, fixture_tables):
     """Scenario 4 (age_repository.py:380-414): primary wins over secondary."""
     got = {r["entity_id"]: r["identifier_key"] for r in primary_identifier(fixture_tables["edges"]).collect()}

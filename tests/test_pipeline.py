@@ -120,6 +120,18 @@ def test_resume_skips_and_is_identical(spark, run_dir, tables):
     assert hf.count() == hf.dropDuplicates(["src", "dst", "pred"]).count()
 
 
+def test_tenant_partitioned_output(spark, tmp_path):
+    """tenant_id stamps rows and hive-partitions the graph tables
+    (SURVEY.md §1.3 physical tenancy); tenant filters prune partitions."""
+    import os
+
+    pages = generate_pages(spark, 50, seed=42)
+    out = run_pipeline(spark, pages, str(tmp_path / "t"), run_id="t", tenant_id="acme")
+    edges = out["edges"]
+    assert edges.filter(F.col("tenant_id") == "acme").count() == edges.count() > 0
+    assert os.path.isdir(str(tmp_path / "t" / "graph_edges" / "tenant_id=acme"))
+
+
 def test_recall_query_end_to_end(spark, tables):
     """Hot persona appears on many pages; recall returns its facts with
     provenance, predicate filter narrows."""
