@@ -53,6 +53,9 @@ HEADLINE = [
     "kg_recall_lookup",
     "kg_fact_refcount",
     "kg_predicate_traversal",
+    "kg_neighborhood_lookup",
+    "kg_expand_hops",
+    "kg_entity_summary",
     "ranked_pick_latest_order",
     "usage_daily_rollup",
     "customer_order_counts",
@@ -60,6 +63,7 @@ HEADLINE = [
     "doc_minhash_near_dups",
     "doc_token_stats",
     "ann_cosine_scores",
+    "ann_batch_topk",
 ]
 
 

@@ -49,9 +49,16 @@ TABLE_KEYS: dict[str, list[str]] = {
 }
 
 
-def assimilate_batch(pages: DataFrame, graph_dir: str) -> dict[str, int]:
+def assimilate_batch(
+    pages: DataFrame, graph_dir: str, with_embeddings: bool = False
+) -> dict[str, int]:
     """Run the extraction->link->materialize stages on one batch of pages
     and idempotently append into the graph tables under ``graph_dir``.
+
+    ``with_embeddings`` also maintains the vector mirror incrementally:
+    points for the batch's new HAS_FACT edges, deduped on deterministic
+    point_id — replaying a batch upserts nothing, exactly the reference's
+    idempotent Qdrant mirror (assimilate_knowledge_usecase.py:126-137).
 
     Returns per-table appended-row counts. Reused by both the streaming
     ``foreachBatch`` hook and ad-hoc incremental loads.
@@ -69,6 +76,14 @@ def assimilate_batch(pages: DataFrame, graph_dir: str) -> dict[str, int]:
     for name in GRAPH_TABLES:
         path = os.path.join(graph_dir, name)
         appended[name] = idempotent_write(tables[name], path, TABLE_KEYS[name])
+
+    if with_embeddings:
+        from nous_spark.semantic import build_embeddings
+
+        emb = build_embeddings(tables["edges"], tables["facts"])
+        appended["embeddings"] = idempotent_write(
+            emb, os.path.join(graph_dir, "embeddings"), ["point_id"]
+        )
     return appended
 
 
@@ -86,6 +101,7 @@ def start_assimilation(
     graph_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    with_embeddings: bool = False,
 ):
     """Start the incremental assimilation stream.
 
@@ -98,7 +114,7 @@ def start_assimilation(
     stream = read_pages_stream(spark, pages_dir)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        assimilate_batch(batch_df, graph_dir)
+        assimilate_batch(batch_df, graph_dir, with_embeddings=with_embeddings)
 
     writer = (
         stream.writeStream.foreachBatch(process)
@@ -108,6 +124,48 @@ def start_assimilation(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+FACT_COUNTS_OUT = "entity_id string, n_total long, n_new long"
+FACT_COUNTS_STATE = "fact_ids array<string>"
+
+
+def running_entity_fact_counts(triples_stream: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-entity
+    running distinct-fact counter over a stream of (entity_id, fact_id).
+
+    Emits one row per entity per micro-batch: (entity_id, n_total facts
+    ever seen, n_new in this batch). The per-group state is the exact
+    fact-id set — the streaming analog of the reference's pre-insert
+    existence check (H2, age_repository.py:689-701): a fact asserted
+    twice across batches counts once. At web scale the exact set per hot
+    entity is bounded by that entity's distinct facts (not corpus size);
+    a sketch (HLL/bloom) would swap in behind the same state schema for
+    entities with millions of facts.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        seen: set = set(state.get[0]) if state.exists else set()
+        n_new = 0
+        for pdf in pdfs:
+            for fid in pdf["fact_id"]:
+                if fid not in seen:
+                    seen.add(fid)
+                    n_new += 1
+        state.update((sorted(seen),))
+        yield pd.DataFrame(
+            {"entity_id": [key[0]], "n_total": [len(seen)], "n_new": [n_new]}
+        )
+
+    return triples_stream.groupBy("entity_id").applyInPandasWithState(
+        update,
+        FACT_COUNTS_OUT,
+        FACT_COUNTS_STATE,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
 
 
 def page_rate(

@@ -93,6 +93,62 @@ def test_stream_matches_batch_and_is_exactly_once(spark, dirs):
     )
 
 
+def test_stateful_running_fact_counts(spark, tmp_path):
+    """applyInPandasWithState: distinct-fact state survives across
+    micro-batches and re-asserted facts count zero new."""
+    from nous_spark.streaming import running_entity_fact_counts
+
+    import time as _time
+
+    src = str(tmp_path / "triples")
+    # two files written with distinct mtimes -> two micro-batches
+    # (maxFilesPerTrigger=1 processes oldest-first)
+    spark.createDataFrame(
+        [("eA", "f1"), ("eA", "f2"), ("eA", "f1"), ("eB", "f1")],
+        "entity_id string, fact_id string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.1)
+    spark.createDataFrame(
+        [("eA", "f1"), ("eA", "f3")], "entity_id string, fact_id string"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("entity_id string, fact_id string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        running_entity_fact_counts(stream)
+        .writeStream.format("memory")
+        .queryName("state_q")
+        .option("checkpointLocation", str(tmp_path / "cp_state"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {
+        (r["entity_id"], r["n_total"], r["n_new"])
+        for r in spark.sql("select * from state_q").collect()
+    }
+    # batch 1: within-batch dedup of f1; batch 2: state remembers f1
+    assert ("eA", 2, 2) in rows
+    assert ("eB", 1, 1) in rows
+    assert ("eA", 3, 1) in rows  # cross-micro-batch state
+
+
+def test_streaming_embeddings_mirror(spark, dirs):
+    """Incremental vector mirror: exactly-once on replay (H5 analog)."""
+    _write_pages(spark, dirs, 0, 20)
+    all_pages = generate_pages(spark, 20, seed=42)
+    first = assimilate_batch(all_pages, dirs["graph"], with_embeddings=True)
+    assert first["embeddings"] > 0
+    again = assimilate_batch(all_pages, dirs["graph"], with_embeddings=True)
+    assert again["embeddings"] == 0
+    emb = spark.read.parquet(os.path.join(dirs["graph"], "embeddings"))
+    assert emb.count() == emb.dropDuplicates(["point_id"]).count()
+
+
 def test_page_rate_watermarked_rollup(spark, dirs):
     _write_pages(spark, dirs, 0, 20)
     stream = read_pages_stream(spark, dirs["pages"])
