@@ -35,9 +35,11 @@ from nous_spark.operators.multimodal import image_features, synth_media
 from nous_spark.operators.similarity import batch_cosine_topk, cosine_scores, lsh_ann_topk
 from nous_spark.operators.text import (
     bpe_ish_token_count,
+    canonical_url_udf,
     fingerprint_udf,
     lang_id_udf,
     quality_columns,
+    quality_score_cols,
     token_count_col,
 )
 from nous_spark.operators.tpch_graph import EDGES_SQL, FACTS_SQL, tpch_edges, tpch_facts
@@ -283,6 +285,38 @@ def _q_emb_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dups_exact(_t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+def _q_doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite pretraining quality filter: score + keep flag per doc."""
+    docs = _t(spark, sf_dir, "documents")
+    qs = quality_score_cols(F.col("text"))
+    return docs.select(
+        "doc_id", qs["quality_score"].alias("quality_score"), qs["keep"].alias("keep")
+    )
+
+
+def _q_doc_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization demo over synthetic messy variants (rows-only:
+    urllib semantics aren't reproducible in DuckDB SQL)."""
+    variants = spark.createDataFrame(
+        [
+            (i, u)
+            for i, u in enumerate(
+                [
+                    "HTTP://Example.COM:80/a/b?z=1&a=2#frag",
+                    "https://example.com:443/a/b/?a=2&z=1",
+                    "https://EXAMPLE.com/a/b?a=2&z=1",
+                    "http://example.com",
+                    "http://example.com/?",
+                ]
+            )
+        ],
+        "row_id long, url string",
+    )
+    return variants.select(
+        "row_id", canonical_url_udf(F.col("url")).alias("canonical")
+    )
+
+
 def _q_kg_expand_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hop neighborhood expansion (the rag_expand_hops semantics the
     reference reserves): entities sharing a fact with Customer#1."""
@@ -442,6 +476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup_exact": _q_emb_near_dup_exact,
         "kg_salted_collect": _q_kg_salted_collect,
         "kg_expand_hops": _q_kg_expand_hops,
+        "doc_quality_filter": _q_doc_quality_filter,
         # rows-only (non-SQL-expressible: seeded sketches / UDF heuristics)
         "doc_minhash_near_dups": _q_minhash_near_dups,
         "doc_simhash_near_dups": _q_simhash_near_dups,
@@ -456,6 +491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_tokens": _q_doc_bpe_tokens,
         "ann_batch_topk": _q_ann_batch_topk,
         "media_image_features": _q_media_image_features,
+        "doc_canonical_urls": _q_doc_canonical_urls,
     }
 
 
@@ -639,6 +675,27 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list_sort(list(DISTINCT pred)), ',') AS preds
             FROM edges WHERE edge_type = 'HAS_FACT'
             GROUP BY dst
+        """,
+        "doc_quality_filter": r"""
+            WITH q AS (
+              SELECT doc_id,
+                     length(regexp_split_to_array(trim(text), '\s+')) AS words,
+                     round(length(regexp_replace(text, '\s', '', 'g'))
+                           / length(regexp_split_to_array(trim(text), '\s+')), 4) AS awl,
+                     round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                           / length(text), 4) AS punct
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                     (CASE WHEN words BETWEEN 10 AND 100000 THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END
+                      + CASE WHEN awl >= 3.0 AND awl <= 12.0 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END
+                      + CASE WHEN punct > 0.0 THEN 0.2::DOUBLE ELSE 0.0::DOUBLE END
+                      + CASE WHEN punct <= 0.1 THEN 0.1::DOUBLE ELSE 0.0::DOUBLE END) AS score
+              FROM q
+            )
+            SELECT doc_id, round(score, 2) AS quality_score,
+                   score >= 0.7 AS keep
+            FROM s
         """,
         "kg_expand_hops": f"""
             WITH edges AS ({EDGES_SQL}),

@@ -215,6 +215,11 @@ def main() -> None:
             "pages_per_sec_4n": round(N_PAGES / t4n, 1),
             "scaling_efficiency_n_to_4n": round(efficiency, 3),
             "host_cpu_control_efficiency_n_to_4n": round(control_eff, 3),
+            # engine efficiency normalized by what pure CPU could scale on
+            # this shared VM at the same moment (BASELINE.md protocol)
+            "efficiency_vs_host_ceiling": round(efficiency / control_eff, 3)
+            if control_eff
+            else None,
         },
     }
     print(json.dumps(out))

@@ -67,6 +67,56 @@ def quality_columns(text: Column) -> dict[str, Column]:
     }
 
 
+def quality_score_cols(text: Column) -> dict[str, Column]:
+    """Composite quality score in [0,1] + keep flag — the C4/Gopher-style
+    heuristic filter a pretraining pipeline runs before tokenization.
+    All SQL-expressible (oracle parity): word-count band, mean word
+    length band, punctuation presence, low symbol ratio.
+    """
+    q = quality_columns(text)
+    words = q["n_words"]
+    awl = q["avg_word_len"]
+    punct = q["punct_ratio"]
+    score = (
+        F.when((words >= 10) & (words <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when((awl >= 3.0) & (awl <= 12.0), F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(punct > 0.0, F.lit(0.2)).otherwise(F.lit(0.0))
+        + F.when(punct <= 0.1, F.lit(0.1)).otherwise(F.lit(0.0))
+    )
+    return {"quality_score": F.round(score, 2), "keep": score >= 0.7}
+
+
+# ---------------------------------------------------------------- url canon
+def canonical_url(url: str | None) -> str:
+    """Deterministic URL canonicalization for dedup keys: lowercase
+    scheme/host, strip default ports and fragments, drop trailing slash
+    on empty paths, sort query params. Pure function — the same rule must
+    key every dedup pass or near-identical pages double-count."""
+    if not url:
+        return ""
+    from urllib.parse import parse_qsl, urlencode, urlsplit, urlunsplit
+
+    try:
+        parts = urlsplit(url.strip())
+    except ValueError:
+        return url.strip()
+    scheme = parts.scheme.lower()
+    host = parts.hostname.lower() if parts.hostname else ""
+    port = parts.port
+    if port and not (
+        (scheme == "http" and port == 80) or (scheme == "https" and port == 443)
+    ):
+        host = f"{host}:{port}"
+    path = parts.path or "/"
+    query = urlencode(sorted(parse_qsl(parts.query, keep_blank_values=True)))
+    return urlunsplit((scheme, host, path, query, ""))
+
+
+@F.pandas_udf(T.StringType())
+def canonical_url_udf(url: pd.Series) -> pd.Series:
+    return url.map(canonical_url)
+
+
 # ---------------------------------------------------------------- lang id
 _LANG_STOPWORDS = {
     "en": {"the", "and", "of", "to", "in", "is", "that", "it", "was", "for", "on", "with", "as", "at"},

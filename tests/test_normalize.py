@@ -64,3 +64,23 @@ def test_synthetic_sentence():
         N.synthetic_sentence("enjoys", "Hobby", "Hiking")
         == "The entity enjoys Hobby: Hiking"
     )
+
+
+def test_canonical_url_rules():
+    from nous_spark.operators.text import canonical_url
+
+    assert (
+        canonical_url("HTTP://Example.COM:80/a/b?z=1&a=2#frag")
+        == "http://example.com/a/b?a=2&z=1"
+    )
+    assert (
+        canonical_url("https://example.com:443/a/b/?a=2&z=1")
+        == "https://example.com/a/b/?a=2&z=1"
+    )
+    assert canonical_url("http://example.com") == "http://example.com/"
+    assert canonical_url("http://example.com/?") == "http://example.com/"
+    assert canonical_url("https://host:8443/x") == "https://host:8443/x"
+    assert canonical_url(None) == "" and canonical_url("") == ""
+    # idempotent
+    u = canonical_url("HTTP://A.B:80/p?b=2&a=1#f")
+    assert canonical_url(u) == u
