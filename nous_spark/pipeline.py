@@ -95,8 +95,15 @@ def stage_mentions(docs: DataFrame) -> DataFrame:
     return with_anchor_id(m)
 
 
-def stage_canonical(mentions: DataFrame, alias_dict: DataFrame | None = None) -> DataFrame:
-    return canonical_mapping(mentions, alias_dict)
+def stage_canonical(
+    mentions: DataFrame,
+    alias_dict: DataFrame | None = None,
+    use_lsh: bool = False,
+    lsh_threshold: float = 0.85,
+) -> DataFrame:
+    return canonical_mapping(
+        mentions, alias_dict, use_lsh=use_lsh, lsh_threshold=lsh_threshold
+    )
 
 
 def stage_link(docs: DataFrame, mentions: DataFrame, mapping: DataFrame) -> DataFrame:
@@ -254,6 +261,7 @@ def run_pipeline(
     alias_dict: DataFrame | None = None,
     n_salts: int = 16,
     tenant_id: str | None = None,
+    use_lsh: bool = False,
 ) -> dict[str, DataFrame]:
     """Execute (or resume) the full pipeline; returns the graph tables.
 
@@ -265,7 +273,9 @@ def run_pipeline(
 
     docs = run.checkpoint("extract", stage_extract(pages))
     mentions = run.checkpoint("mentions", stage_mentions(docs))
-    mapping = run.checkpoint("canonical", stage_canonical(mentions, alias_dict))
+    mapping = run.checkpoint(
+        "canonical", stage_canonical(mentions, alias_dict, use_lsh=use_lsh)
+    )
     linked = run.checkpoint("triples", stage_link(docs, mentions, mapping))
 
     # mentions x mapping feeds three of the five graph tables — persist it

@@ -67,7 +67,8 @@ def main() -> None:
         ap.error("one of --pages / --synth is required")
 
     tables = run_pipeline(
-        spark, pages, args.out, run_id=args.run_id, n_salts=args.n_salts
+        spark, pages, args.out, run_id=args.run_id, n_salts=args.n_salts,
+        use_lsh=args.lsh,
     )
 
     if args.embeddings:
