@@ -108,8 +108,9 @@ def gen_row(i: int, seed: int = 42, fill_sentences: int = 0) -> tuple[dict, list
     _, email, username = _persona(i, rng)
     expected: list[dict] = []
 
-    if kind <= 3:  # golden replica
-        g = GOLDEN[(i // 10) % len(GOLDEN)]
+    if kind <= 3:  # golden replica — Knuth-hash mix so every persona sees
+        # every golden case regardless of stride interactions
+        g = GOLDEN[((i * 2654435761) & 0xFFFFFFFF) % len(GOLDEN)]
         # per-persona identifier of the golden case's type
         idv = email if g["id_type"] == "email" else f"{username}"
         subj = f"{g['id_type']}:{idv}"

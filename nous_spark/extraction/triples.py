@@ -161,6 +161,28 @@ def _h_abrir_pt(m):
     return [_mk("plans_to_open", "Business", m.group(1), 0.9)]
 
 
+def _h_works_as_lower(m):
+    # lowercase profession ("I work as a software engineer now.") — the
+    # reference's history test (test_assimilate_..._integration.py:184-213)
+    # extracts from uncapitalized phrasing; emit title case like the LLM
+    # examples (langchain_fact_extractor.py:80-83).
+    name = " ".join(_cap(w) for w in m.group(1).split())
+    return [_mk("works_as", "Profession", name, 0.9)]
+
+
+# Spanish (test :287-310): names stay in source language, verb/type English.
+def _h_vivo_es(m):
+    return [_mk("lives_in", "Location", _proper(m.group(1)), 0.95)]
+
+
+def _h_trabajo_es(m):
+    return [_mk("works_as", "Profession", m.group(1).strip(), 0.9)]
+
+
+def _h_llamo_es(m):
+    return [_mk("is_named", "Name", _proper(m.group(1)), 0.95)]
+
+
 _PATTERNS: list[tuple[re.Pattern, object]] = [
     (re.compile(r"\benjoys?\s+((?:\w+)(?:(?:\s*,\s*|\s+and\s+)\w+)*)" + _OBJ_STOP), _h_enjoys),
     (
@@ -174,6 +196,19 @@ _PATTERNS: list[tuple[re.Pattern, object]] = [
     (re.compile(r"\bloves?\s+((?:\w+)(?:(?:\s*,\s*|\s+and\s+)\w+)*)" + _OBJ_STOP), _h_loves),
     (re.compile(r"\blives?\s+in\s+" + _PROPER), _h_lives_in),
     (re.compile(r"\bworks?\s+as\s+an?\s+" + _PROPER), _h_works_as),
+    (
+        re.compile(
+            r"\bworks?\s+as\s+an?\s+([a-z][a-z]*(?:\s+[a-z][a-z]*)*?)"
+            r"(?:\s+(?:now|today|currently)\b|[,.;!?]|$)"
+        ),
+        _h_works_as_lower,
+    ),
+    (re.compile(r"\b[Vv]ivo\s+en\s+" + _PROPER), _h_vivo_es),
+    (
+        re.compile(r"\btrabajo\s+como\s+([a-zá-ú]+(?:\s+(?:de\s+)?[a-zá-ú]+)*)"),
+        _h_trabajo_es,
+    ),
+    (re.compile(r"\b[Mm]e\s+llamo\s+" + _PROPER), _h_llamo_es),
     (re.compile(r"\bworks?\b[^.;!?]*?\bat\s+" + _PROPER), _h_works_at),
     (re.compile(r"\bheadquartered\s+in\s+((?:[A-Z][\w&.'-]*)(?:(?:\s*,\s*|\s+)[A-Z][\w&.'-]*)*)"), _h_hq),
     (re.compile(r"\bfounded\s+in\s+(\d{4})"), _h_founded),

@@ -104,6 +104,29 @@ GOLDEN: list[dict] = [
         "text": "I think that new project is a bad idea.",
         "expected": [("considers_bad_idea", "Opinion:new project")],
     },
+    {
+        "gid": "g09",  # Spanish multilingual (usecase test :287-310)
+        "id_type": "email",
+        "id_value": "maria.garcia@example.com",
+        "lang": "es",
+        "text": (
+            "Me llamo María García. Vivo en Barcelona y trabajo como "
+            "profesora de matemáticas."
+        ),
+        "expected": [
+            ("is_named", "Name:María García"),
+            ("lives_in", "Location:Barcelona"),
+            ("works_as", "Profession:profesora de matemáticas"),
+        ],
+    },
+    {
+        "gid": "g10",  # history-context phrasing (usecase test :184-213)
+        "id_type": "email",
+        "id_value": "test.user@example.com",
+        "lang": "en",
+        "text": "I work as a software engineer now.",
+        "expected": [("works_as", "Profession:Software Engineer")],
+    },
 ]
 
 
