@@ -169,6 +169,99 @@ def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shipping priority: top-10 unshipped-revenue orders (top-k after
+    a 3-way join + agg; deterministic tiebreak on orderkey)."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1996-06-01").cast("timestamp")
+    return (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, customer.c_custkey == orders.o_custkey)
+        .filter(F.col("o_orderdate") < cutoff)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_shipdate") > cutoff)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
+
+
+def _q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 local-supplier volume: 6-way join, broadcast dims, year filter."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .filter(customer.c_nationkey == supplier.s_nationkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+              nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def _q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 forecast revenue: pure scan-filter-agg (pushdown showcase)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.04, 0.06))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def _q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 large-volume customers: HAVING via post-agg filter + semi-join."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .select(
+            "o_orderkey",
+            F.col("o_custkey").alias("custkey"),
+            F.round("total_qty", 1).alias("total_qty"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+        )
+    )
+
+
 def _q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C1-style join chain with broadcast dims: revenue by EUROPE nation."""
     customer = _t(spark, sf_dir, "customer")
@@ -462,6 +555,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "usage_totals_coalesce": _q_totals_coalesce,
         "usage_pagination": _q_pagination,
         "tpch_q1_pricing_summary": _q_tpch_q1,
+        "tpch_q3_shipping_priority": _q_tpch_q3,
+        "tpch_q5_local_supplier": _q_tpch_q5,
+        "tpch_q6_forecast_revenue": _q_tpch_q6,
+        "tpch_q18_large_volume": _q_tpch_q18,
         "region_revenue": _q_region_revenue,
         "customers_with_1995_orders": _q_semi_join,
         "customers_without_orders": _q_anti_join,
@@ -560,6 +657,51 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS count_order
             FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_q3_shipping_priority": """
+            SELECT l_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   o_orderdate
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1996-06-01'
+              AND l_shipdate > TIMESTAMP '1996-06-01'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "tpch_q5_local_supplier": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+        """,
+        "tpch_q6_forecast_revenue": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.04 AND 0.06
+              AND l_quantity < 24
+        """,
+        "tpch_q18_large_volume": """
+            SELECT o_orderkey, o_custkey AS custkey,
+                   round(total_qty, 1) AS total_qty,
+                   round(o_totalprice, 2) AS totalprice
+            FROM orders
+            JOIN (
+              SELECT l_orderkey, sum(l_quantity) AS total_qty
+              FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+            ) big ON o_orderkey = big.l_orderkey
         """,
         "region_revenue": """
             SELECT n_name, round(sum(o_totalprice), 2) AS revenue
