@@ -80,7 +80,9 @@ def pipeline_child(cores: int, n_pages: int, out_dir: str) -> None:
 
     spark = get_spark(app_name=f"nous_bench_{cores}", cores=cores)
     shutil.rmtree(out_dir, ignore_errors=True)
-    pages_path = f"/tmp/nous_bench_pages_{n_pages}_f{FILL}"
+    from nous_spark.datagen import DATAGEN_VERSION
+
+    pages_path = f"/tmp/nous_bench_pages_v{DATAGEN_VERSION}_{n_pages}_f{FILL}"
     if not os.path.exists(os.path.join(pages_path, "_SUCCESS")):
         generate_pages(spark, n_pages, seed=42, fill_sentences=FILL).write.mode(
             "overwrite"

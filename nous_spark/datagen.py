@@ -70,6 +70,10 @@ _NOISE = [
 _EPOCH = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
 _N_HOT_PERSONAS = 50
 
+# bump when gen_row's output changes for the same (i, seed) — cache keys
+# (e.g. bench's materialized pages parquet) embed this
+DATAGEN_VERSION = 2
+
 
 def html_of(text: str, title: str = "page") -> bytes:
     """Wrap text as HTML such that extract_text_str round-trips exactly."""
