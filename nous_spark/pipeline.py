@@ -297,6 +297,11 @@ def run_pipeline(
             name: t.withColumn("tenant_id", F.lit(tenant_id))
             for name, t in tables.items()
         }
+    # cluster edge files by head entity: parquet row-group min/max stats on
+    # `src` then prune most files for point recall lookups (the batch
+    # analog of the reference's unique B-tree on Entity.id,
+    # docs/graph_db_schema_age.md:40) — a local sort, no extra shuffle.
+    tables["edges"] = tables["edges"].sortWithinPartitions("src", "edge_type")
     part = ["tenant_id"] if tenant_id is not None else None
     out = {}
     try:

@@ -126,6 +126,19 @@ def start_assimilation(
     return writer.start()
 
 
+def dedup_pages_stream(
+    pages_stream: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming exact URL dedup with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps each url's state only until
+    the event-time watermark passes it — the streaming counterpart of
+    the batch exact_dedup, sized for unbounded input (state is O(urls
+    within the watermark window), not O(corpus))."""
+    return pages_stream.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
+        ["url"]
+    )
+
+
 FACT_COUNTS_OUT = "entity_id string, n_total long, n_new long"
 FACT_COUNTS_STATE = "fact_ids array<string>"
 

@@ -50,3 +50,46 @@ def test_lsh_is_subset_of_exact_with_true_positives_only(vectors):
     assert got <= exact  # blocking never invents pairs
     assert len(got) > 0  # near-identical vectors share sign buckets
     assert all(r["cosine"] >= 0.95 for r in lsh)
+
+
+def test_minhash_jvm_and_pandas_agree_on_near_dups(spark):
+    """The JVM and numpy minhash families differ bit-wise but must find
+    the same planted near-duplicate pairs at the same threshold."""
+    from nous_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_near_dups,
+        minhash_signatures,
+        minhash_signatures_pandas,
+    )
+    from pyspark.sql import functions as F
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "through the quiet green field toward the distant river bank"
+    )
+    rows = []
+    for i in range(8):
+        # pairs (2i, 2i+1) are near-dups (one word changed); distinct bases
+        variant = base.replace("quick", f"word{i}")
+        rows.append((2 * i, variant))
+        rows.append((2 * i + 1, variant.replace("river", "ocean")))
+    docs = spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_dups(docs, threshold=0.5).collect()
+    }
+    expected = {(2 * i, 2 * i + 1) for i in range(8)}
+    assert expected <= found
+
+    # pandas family through the same banding finds the same pairs
+    sigs_p = minhash_signatures_pandas(docs)
+    cands_p = {
+        (r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(sigs_p).collect()
+    }
+    assert expected <= cands_p
+
+    # JVM signatures are deterministic across evaluations
+    s1 = {r["doc_id"]: r["sig"] for r in minhash_signatures(docs).collect()}
+    s2 = {r["doc_id"]: r["sig"] for r in minhash_signatures(docs).collect()}
+    assert s1 == s2

@@ -167,3 +167,32 @@ def test_page_rate_watermarked_rollup(spark, dirs):
     # static-frame parity: same expression over a batch read
     static = page_rate(spark.read.parquet(dirs["pages"]), "1 hour", "2 hours")
     assert static.agg(F.sum("n_pages")).first()[0] == 20
+
+
+def test_dedup_pages_stream_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a url replayed within the watermark
+    window is emitted once."""
+    from nous_spark.streaming import dedup_pages_stream
+
+    src = str(tmp_path / "dup_pages")
+    pages = generate_pages(spark, 10, seed=42)
+    dup = pages.unionByName(pages.limit(5))  # 5 urls duplicated
+    dup.coalesce(1).write.mode("append").parquet(src)
+
+    from nous_spark.schemas import PAGES
+
+    stream = spark.readStream.schema(PAGES).parquet(src)
+    q = (
+        dedup_pages_stream(stream, "1 hour")
+        .select("url")
+        .writeStream.format("memory")
+        .queryName("dedup_q")
+        .option("checkpointLocation", str(tmp_path / "cp_dedup"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    urls = [r["url"] for r in spark.sql("select url from dedup_q").collect()]
+    assert len(urls) == 10
+    assert len(set(urls)) == 10
