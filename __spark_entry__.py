@@ -37,7 +37,7 @@ from nous_spark.operators.text import (
     bpe_ish_token_count,
     canonical_url_udf,
     fingerprint_udf,
-    lang_id_udf,
+    lang_id_col,
     quality_columns,
     quality_score_cols,
     token_count_col,
@@ -455,7 +455,7 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return (
-        docs.withColumn("lang_pred", lang_id_udf(F.col("text")))
+        docs.withColumn("lang_pred", lang_id_col(F.col("text")))
         .groupBy("lang", "lang_pred")
         .agg(F.count("*").alias("n_docs"))
     )

@@ -66,6 +66,52 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def minhash_signatures_jvm(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig: array<long>) — minhash entirely JVM-side (no Python
+    workers): word k-gram shingles via slide (split/sequence/slice/
+    concat_ws), hash family j = xxhash64(shingle, seed, j), signature =
+    array_min per j.
+
+    Honest A/B at sf0.1 (5k docs, forced evaluation): this path 4.3-5.2s
+    vs 0.75-2.8s for the numpy/Arrow default — higher-order-function
+    lambdas are interpreted per element while numpy gets SIMD matrix
+    ops, so the Arrow path wins despite crossing into Python. Kept as
+    the zero-Python-worker alternative (useful where worker fork/import
+    dominates or Python is unavailable on executors).
+    """
+    words = F.split(F.col(text_col), r"\s+")
+    n = F.greatest(F.size(words) - (shingle_k - 1), F.lit(1))
+    shingles = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i + 1, shingle_k))),
+    )
+    # Bind the shingle array ONCE as a runtime lambda variable (1-element
+    # array wrapper): embedding `shingles` directly in all n_hashes
+    # lambdas would copy the string-building subtree n_hashes times into
+    # the plan — lambda bodies are not common-subexpression-eliminated
+    # (measured 64x slowdown without this).
+    sig = F.element_at(
+        F.transform(
+            F.array(shingles),
+            lambda sh: F.transform(
+                F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+                lambda j: F.array_min(
+                    F.transform(sh, lambda s: F.xxhash64(s, F.lit(seed), j))
+                ),
+            ),
+        ),
+        1,
+    )
+    return docs.select(F.col(id_col), sig.alias("sig"))
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -74,42 +120,12 @@ def minhash_signatures(
     shingle_k: int = 5,
     seed: int = 42,
 ) -> DataFrame:
-    """(id, sig: array<long>) — minhash entirely JVM-side.
-
-    Word k-gram shingles via slide (split/sequence/slice/concat_ws), hash
-    family j = xxhash64(shingle, seed, j) (the standard seeded-xxhash
-    minhash family), signature = array_min per j. Whole-stage-codegen'd:
-    measured 11x faster than the Arrow-batched numpy path
-    (minhash_signatures_pandas, kept for cross-checking) at sf0.1 —
-    no Python workers at all on the dedup hot path.
-    """
-    words = F.split(F.col(text_col), r"\s+")
-    n = F.greatest(F.size(words) - (shingle_k - 1), F.lit(1))
-    shingles = F.transform(
-        F.sequence(F.lit(0), n - 1),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i + 1, shingle_k))),
-    )
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-        lambda j: F.array_min(
-            F.transform(shingles, lambda s: F.xxhash64(s, F.lit(seed), j))
-        ),
-    )
-    return docs.select(F.col(id_col), sig.alias("sig"))
-
-
-def minhash_signatures_pandas(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n_hashes: int = 64,
-    shingle_k: int = 5,
-    seed: int = 42,
-) -> DataFrame:
-    """Reference implementation: vectorized numpy minhash per Arrow batch
-    ((a*x+b) mod Mersenne family over crc32 shingles). Same statistical
-    contract as the JVM path (not bit-identical — different hash family);
-    tests assert both find the same near-duplicate pairs."""
+    """(id, sig: array<long>) — DEFAULT: vectorized numpy minhash per
+    Arrow batch ((a*x+b) mod Mersenne family over crc32 shingles, one
+    (n_hashes x n_shingles) matrix op per doc). Fastest measured path
+    (see minhash_signatures_jvm docstring for the A/B). Same statistical
+    contract as the JVM variant (different hash family, not
+    bit-identical); tests assert both find the same near-dup pairs."""
     a, b = _hash_params(n_hashes, seed)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -181,7 +197,11 @@ def minhash_near_dups(
     Estimate = fraction of agreeing minhash positions (unbiased for true
     Jaccard). Returns (id_a, id_b, est_jaccard).
     """
-    sigs = minhash_signatures(docs, id_col, text_col, n_hashes, shingle_k, seed)
+    # Materialize signatures once: the JVM sig expression would otherwise
+    # be re-inlined by Catalyst into every band slice and both join sides
+    # (16 bands x 64 hashes x shingles — measured minutes instead of
+    # seconds at sf0.1). MEMORY_AND_DISK: sigs are 8B x n_hashes per doc.
+    sigs = minhash_signatures(docs, id_col, text_col, n_hashes, shingle_k, seed).persist()
     cands = lsh_candidate_pairs(sigs, id_col, n_bands)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
@@ -204,7 +224,14 @@ def simhash_fingerprints(
     text_col: str = "text",
     seed: int = 42,
 ) -> DataFrame:
-    """64-bit SimHash over word unigram hashes — (id, simhash: long)."""
+    """64-bit SimHash over word unigram hashes — (id, simhash: long).
+
+    DEFAULT: vectorized numpy per Arrow batch (bit matrix of word hashes,
+    one (n_words x 64) op per doc). Honest A/B at sf0.1: 1.3-2.4s vs
+    3.0-4.9s for the JVM higher-order-function variant
+    (simhash_fingerprints_jvm) — same conclusion as minhash: numpy SIMD
+    beats interpreted HOF lambdas.
+    """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -236,6 +263,59 @@ def simhash_fingerprints(
     return docs.select(id_col, text_col).mapInPandas(gen, f"{id_col} long, simhash long")
 
 
+def simhash_fingerprints_jvm(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+) -> DataFrame:
+    """JVM-only SimHash variant (no Python workers): per word,
+    xxhash64(word, seed) contributes +-1 to each of 64 bit counters (one
+    `aggregate` over the words array with an array accumulator); the
+    fingerprint sets bit j where counter j > 0. Different hash family
+    than the default — not bit-identical, same blocking semantics.
+    """
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    hashes = F.transform(words, lambda w: F.xxhash64(w, F.lit(seed)))
+    zero = F.array_repeat(F.lit(0).cast("long"), 64)
+
+    def bits_pm1(h):
+        return F.array(
+            *[
+                (
+                    F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1)) * 2 - 1
+                ).cast("long")
+                for j in range(64)
+            ]
+        )
+
+    counters = F.aggregate(
+        hashes, zero, lambda acc, h: F.zip_with(acc, bits_pm1(h), lambda a, b: a + b)
+    )
+    # bit j's value as a literal array (bit 63 = long sign bit in two's
+    # complement) — zip against the counters so the aggregate above is
+    # referenced exactly once
+    bitvals = F.array(
+        *[
+            F.lit((1 << j) if j < 63 else -(1 << 63)).cast("long")
+            for j in range(64)
+        ]
+    )
+    fp = F.aggregate(
+        F.zip_with(
+            counters,
+            bitvals,
+            lambda c, v: F.when(c > 0, v).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+    return docs.select(
+        F.col(id_col),
+        F.when(F.size(words) == 0, F.lit(0).cast("long")).otherwise(fp).alias("simhash"),
+    )
+
+
 def simhash_near_dups(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -250,7 +330,9 @@ def simhash_near_dups(
     candidate join is an equi-join on (chunk_idx, chunk_value). The
     verification (bit_count of xor) runs JVM-side.
     """
-    fp = simhash_fingerprints(docs, id_col, text_col, seed)
+    # persist: the fingerprint expression would be re-inlined into all
+    # four chunk extractions and both join sides otherwise
+    fp = simhash_fingerprints(docs, id_col, text_col, seed).persist()
     chunks = fp.select(
         id_col,
         "simhash",
@@ -382,22 +464,22 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact word-k-gram Jaccard similarity for all pairs sharing >=1 gram.
 
-    Pure DataFrame: explode distinct shingle hashes, equi-join on shingle,
-    |A∩B| via group-count, |A∪B| = |A|+|B|-|A∩B|.
+    Pure DataFrame end-to-end: shingle hashes built JVM-side (the same
+    split/sequence/slice/xxhash64 expression as the JVM minhash), explode
+    distinct, equi-join on shingle, |A∩B| via group-count,
+    |A∪B| = |A|+|B|-|A∩B|. No Python workers.
     """
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows_id, rows_sh = [], []
-            for did, text in zip(pdf[id_col], pdf[text_col]):
-                for sh in _shingles(text or "", k):
-                    rows_id.append(did)
-                    rows_sh.append(int(sh))
-            yield pd.DataFrame({id_col: rows_id, "shingle": rows_sh})
-
-    shingled = docs.select(id_col, text_col).mapInPandas(
-        gen, f"{id_col} long, shingle long"
+    words = F.split(F.col(text_col), r"\s+")
+    n = F.greatest(F.size(words) - (k - 1), F.lit(1))
+    shingle_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i + 1, k))),
+        )
     )
+    shingled = docs.select(
+        F.col(id_col), F.explode(shingle_arr).alias("shingle")
+    ).persist()  # reused by sizes + both join sides
     sizes = shingled.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = shingled.alias("a")
     b = shingled.alias("b")

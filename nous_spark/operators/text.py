@@ -148,6 +148,35 @@ def lang_id_udf(text: pd.Series) -> pd.Series:
     return text.map(lang_id_text)
 
 
+def lang_id_col(text: Column) -> Column:
+    """JVM-side language ID — same stopword-overlap metric as
+    lang_id_text, as pure Column expressions (no Python workers):
+    score(lang) = (# word occurrences in lang's stopword set) / #words,
+    argmax over langs, 'und' below the 0.02 floor. Word extraction uses
+    the same [a-z+accents]+ tokenization as the Python form."""
+    words = F.filter(
+        F.split(F.regexp_replace(F.lower(text), r"[^a-záàâãéêíóôõúüçñ]+", " "), " "),
+        lambda w: w != "",
+    )
+    n_words = F.size(words)
+    cands = []
+    for lang in sorted(_LANG_STOPWORDS):
+        stop = F.array(*[F.lit(w) for w in sorted(_LANG_STOPWORDS[lang])])
+        score = F.size(F.filter(words, lambda w: F.array_contains(stop, w))) / n_words
+        cands.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
+    # argmax as a runtime aggregate loop (strictly-greater keeps the first
+    # lang on ties, matching the Python form) — NOT a nested when-tree,
+    # which Catalyst would inline exponentially
+    best = F.aggregate(
+        F.array(*cands[1:]),
+        cands[0],
+        lambda acc, x: F.when(x["score"] > acc["score"], x).otherwise(acc),
+    )
+    return F.when(
+        (n_words > 0) & (best["score"] > 0.02), best["lang"]
+    ).otherwise(F.lit("und"))
+
+
 # ------------------------------------------------------------- fingerprint
 def fingerprint_text(text: str | None, window: int = 8) -> int:
     """Winnowing-style document fingerprint: min rolling-window hash over

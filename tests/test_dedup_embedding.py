@@ -53,13 +53,13 @@ def test_lsh_is_subset_of_exact_with_true_positives_only(vectors):
 
 
 def test_minhash_jvm_and_pandas_agree_on_near_dups(spark):
-    """The JVM and numpy minhash families differ bit-wise but must find
+    """The numpy (default) and JVM minhash families differ bit-wise but must find
     the same planted near-duplicate pairs at the same threshold."""
     from nous_spark.operators.dedup import (
         lsh_candidate_pairs,
         minhash_near_dups,
         minhash_signatures,
-        minhash_signatures_pandas,
+        minhash_signatures_jvm,
     )
     from pyspark.sql import functions as F
 
@@ -82,8 +82,8 @@ def test_minhash_jvm_and_pandas_agree_on_near_dups(spark):
     expected = {(2 * i, 2 * i + 1) for i in range(8)}
     assert expected <= found
 
-    # pandas family through the same banding finds the same pairs
-    sigs_p = minhash_signatures_pandas(docs)
+    # the JVM hash family through the same banding finds the same pairs
+    sigs_p = minhash_signatures_jvm(docs)
     cands_p = {
         (r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(sigs_p).collect()
     }
@@ -93,3 +93,55 @@ def test_minhash_jvm_and_pandas_agree_on_near_dups(spark):
     s1 = {r["doc_id"]: r["sig"] for r in minhash_signatures(docs).collect()}
     s2 = {r["doc_id"]: r["sig"] for r in minhash_signatures(docs).collect()}
     assert s1 == s2
+
+
+def test_simhash_blocks_near_dups(spark):
+    """SimHash: identical docs get identical fingerprints; one-word
+    edits land within small hamming distance; unrelated docs do not."""
+    from nous_spark.operators.dedup import simhash_fingerprints, simhash_near_dups
+    from pyspark.sql import functions as F
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base),  # exact dup
+            (2, base.replace("sigma", "SIGMA2")),  # near dup
+            (3, "completely different words entirely here about other topics now"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(docs).collect()}
+    assert fps[0] == fps[1]  # identical text -> identical fingerprint
+    near = {(r["id_a"], r["id_b"]) for r in simhash_near_dups(docs, max_hamming=10).collect()}
+    assert (0, 1) in near  # hamming 0: guaranteed through any chunk
+    # the 4x16 pigeonhole blocking GUARANTEES recall only for hamming<=3;
+    # the one-word edit lands at hamming ~7 (family-dependent), so (0,2)
+    # is best-effort — but nothing beyond the threshold may ever appear:
+    h02 = bin(fps[0] ^ fps[2]).count("1")
+    assert 0 < h02 <= 10
+    assert (0, 3) not in near and (2, 3) not in near
+    hams = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_near_dups(docs, max_hamming=10).collect()}
+    assert all(h <= 10 for h in hams.values())
+
+
+def test_lang_id_col_matches_python(spark):
+    from nous_spark.operators.text import lang_id_col, lang_id_text
+    from pyspark.sql import functions as F
+
+    texts = [
+        "the cat sat on the mat and it was happy with the sun",
+        "de que o do da em um uma para com os",
+        "le la de et les des en un une du",
+        "der die und das in von zu den mit",
+        "el la de que y en los del se las",
+        "zzz qqq xxx",
+        "",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    got = {r["i"]: r["l"] for r in df.select("i", lang_id_col(F.col("text")).alias("l")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == lang_id_text(t), (t, got[i], lang_id_text(t))
