@@ -505,6 +505,23 @@ def _q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_ish_token_count(_t(spark, sf_dir, "documents"))
 
 
+def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic sampled-centroid training, nprobe=4 of 16
+    inverted lists, exact cosine within the probed lists."""
+    from nous_spark.operators.similarity import (
+        ivf_ann_topk,
+        ivf_assign,
+        ivf_train_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    cents = ivf_train_centroids(emb, n_lists=16, sample_size=2000)
+    assign = ivf_assign(emb, cents)
+    out = ivf_ann_topk(emb, assign, cents, [float(x) for x in qvec], k=10, nprobe=4)
+    return out.select("vec_id", F.round("score", 4).alias("score"), "rank")
+
+
 def _q_ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5).select(
@@ -580,6 +597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_jaccard": _q_ngram_jaccard,
         "doc_lang_id_confusion": _q_lang_id,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "kg_pipeline_triples": _q_kg_pipeline,
         "emb_near_dup_lsh": _q_emb_near_dup_lsh,
         "kg_embeddings_build": _q_kg_embeddings,

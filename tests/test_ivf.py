@@ -1,0 +1,73 @@
+"""IVF ANN tests: deterministic centroid training, exactness at full
+probe, recall on clustered data at partial probe."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from nous_spark.operators.similarity import (
+    cosine_topk,
+    ivf_ann_topk,
+    ivf_assign,
+    ivf_train_centroids,
+)
+
+DIM = 16
+N_CLUSTERS = 8
+PER_CLUSTER = 40
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    rng = np.random.RandomState(3)
+    centers = rng.standard_normal((N_CLUSTERS, DIM))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows, vid = [], 0
+    for c in range(N_CLUSTERS):
+        for _ in range(PER_CLUSTER):
+            v = centers[c] + 0.15 * rng.standard_normal(DIM)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    return df, centers
+
+
+def test_centroids_deterministic_across_partitioning(clustered):
+    df, _ = clustered
+    c1 = ivf_train_centroids(df.repartition(2), n_lists=N_CLUSTERS)
+    c2 = ivf_train_centroids(df.repartition(7), n_lists=N_CLUSTERS)
+    assert np.array_equal(c1, c2)
+
+
+def test_full_probe_equals_brute_force(clustered):
+    df, centers = clustered
+    cents = ivf_train_centroids(df, n_lists=N_CLUSTERS)
+    assign = ivf_assign(df, cents).cache()
+    q = [float(x) for x in centers[0]]
+    exact = [r["vec_id"] for r in cosine_topk(df, q, k=10).collect()]
+    full = [
+        r["vec_id"]
+        for r in ivf_ann_topk(df, assign, cents, q, k=10, nprobe=N_CLUSTERS).collect()
+    ]
+    assert full == exact
+
+
+def test_partial_probe_recall(clustered):
+    df, centers = clustered
+    cents = ivf_train_centroids(df, n_lists=N_CLUSTERS)
+    assign = ivf_assign(df, cents).cache()
+    # lists are balanced-ish: every cluster has one dominant inverted list
+    sizes = {r["list_id"]: r["n"] for r in assign.groupBy("list_id").count().withColumnRenamed("count", "n").collect()}
+    assert len(sizes) == N_CLUSTERS
+    hits = 0
+    for c in range(N_CLUSTERS):
+        q = [float(x) for x in centers[c]]
+        exact = {r["vec_id"] for r in cosine_topk(df, q, k=10).collect()}
+        approx = {
+            r["vec_id"]
+            for r in ivf_ann_topk(df, assign, cents, q, k=10, nprobe=2).collect()
+        }
+        hits += len(exact & approx)
+    recall = hits / (10 * N_CLUSTERS)
+    assert recall >= 0.9, recall
