@@ -271,6 +271,85 @@ def primary_identifier(edges: DataFrame) -> DataFrame:
     )
 
 
+def recanonicalize_graph(tables: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    """Periodic cross-batch alias compaction (the batch half of the
+    streaming lambda split — streaming.py assimilates with per-batch CC
+    only, so an alias discovered in a later batch can leave two canonical
+    entity ids for one identity).
+
+    Evidence: two entity ids sharing a HAS_IDENTIFIER dst are the same
+    identity (identifier values are unique per the reference's schema,
+    docs/graph_db_schema_age.md:59). Connected components over that
+    share-graph elects min-id canonicals; every edge src and node is
+    rewritten and re-merged with the same deterministic aggregation the
+    materializer uses. Idempotent: a second run is a no-op (tested).
+    """
+    from nous_spark.cc import connected_components
+
+    edges, nodes = tables["edges"], tables["nodes"]
+    hi = edges.filter(F.col("edge_type") == HAS_IDENTIFIER).select("src", "dst")
+    a, b = hi.alias("a"), hi.alias("b")
+    share = (
+        a.join(b, (F.col("a.dst") == F.col("b.dst")) & (F.col("a.src") < F.col("b.src")))
+        .select(F.col("a.src").alias("src"), F.col("b.src").alias("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    comp = connected_components(share)
+    mapping = comp.select(F.col("id").alias("entity_id"), F.col("component").alias("canonical"))
+
+    def remap(df: DataFrame, col: str) -> DataFrame:
+        m = mapping.withColumnRenamed("entity_id", "_old").withColumnRenamed(
+            "canonical", "_new"
+        )
+        return (
+            df.join(m, df[col] == m["_old"], "left")
+            .withColumn(col, F.coalesce(m["_new"], df[col]))
+            .drop("_old", "_new")
+        )
+
+    # DERIVED_FROM srcs are fact ids — only entity-headed edges remap
+    entity_edges = remap(edges.filter(F.col("edge_type") != DERIVED_FROM), "src")
+    hi2 = (
+        entity_edges.filter(F.col("edge_type") == HAS_IDENTIFIER)
+        .groupBy("src", "dst")
+        .agg(F.max("is_primary").alias("is_primary"), F.min("created_at").alias("created_at"))
+        .select(
+            "src",
+            F.lit(HAS_IDENTIFIER).alias("edge_type"),
+            "dst",
+            F.lit(None).cast("string").alias("pred"),
+            F.lit(None).cast("double").alias("confidence"),
+            "is_primary",
+            "created_at",
+        )
+    )
+    hf2 = (
+        entity_edges.filter(F.col("edge_type") == HAS_FACT)
+        .groupBy("src", "dst", "pred")
+        .agg(F.max("confidence").alias("confidence"), F.min("created_at").alias("created_at"))
+        .select(
+            "src",
+            F.lit(HAS_FACT).alias("edge_type"),
+            "dst",
+            "pred",
+            "confidence",
+            F.lit(None).cast("boolean").alias("is_primary"),
+            "created_at",
+        )
+    )
+    new_edges = hi2.unionByName(hf2).unionByName(
+        edges.filter(F.col("edge_type") == DERIVED_FROM)
+    )
+
+    new_nodes = (
+        remap(tables["nodes"], "entity_id")
+        .groupBy("entity_id")
+        .agg(F.min("created_at").alias("created_at"))
+        .withColumn("metadata", F.lit(None).cast("map<string,string>"))
+    )
+    return {**tables, "edges": new_edges, "nodes": new_nodes}
+
+
 def expand_hops(edges: DataFrame, entity_ids: DataFrame, hops: int = 1) -> DataFrame:
     """N-hop neighborhood expansion over shared facts.
 
