@@ -82,6 +82,30 @@ def table_exists(spark: SparkSession, target: str, fmt: str | None = None) -> bo
     raise ValueError(f"unknown table format: {fmt}")
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 64,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a bucketed (+ sorted) managed table.
+
+    Bucketing pre-shuffles rows into n_buckets by hash(bucket_cols) AT
+    WRITE TIME, so joins/aggregations between tables bucketed the same
+    way need NO exchange at read time — the co-located-join strategy for
+    the hot recall path (edges ⋈ edges on src at 100 TB; tested
+    shuffle-free in tests/test_bucketing.py). Parquet bucketing needs the
+    session catalog (saveAsTable); on Iceberg the equivalent is
+    ``PARTITIONED BY (bucket(n, col))``.
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table_name)
+
+
 def idempotent_write(df: DataFrame, target: str, keys: list[str], fmt: str | None = None) -> int:
     """Append only rows whose ``keys`` are not already in ``target``;
     returns the number of appended rows. The storage-agnostic form of the
