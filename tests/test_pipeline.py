@@ -146,3 +146,13 @@ def test_recall_query_end_to_end(spark, tables):
     )
     assert 0 < filtered.count() <= len(rows)
     assert all(r["pred"] == "lives_in" for r in filtered.collect())
+
+
+def test_empty_corpus_is_graceful(spark, tmp_path):
+    """Zero pages (an empty partition/day on a cluster) runs end-to-end
+    and produces empty-but-valid tables, not a crash."""
+    pages = generate_pages(spark, 0, seed=42)
+    tables = run_pipeline(spark, pages, str(tmp_path / "empty"), run_id="e")
+    assert {k: v.count() for k, v in tables.items()} == {
+        "nodes": 0, "identifiers": 0, "facts": 0, "sources": 0, "edges": 0
+    }
