@@ -817,7 +817,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT entity_id, count(*) AS n_facts,
                    'The entity ' || string_agg(
                      clause, '; '
-                     ORDER BY pred || chr(31) || fact_id || chr(31) || clause
+                     ORDER BY pred, fact_id, clause
                    ) || '.' AS summary
             FROM clauses GROUP BY entity_id
         """,

@@ -108,17 +108,25 @@ def connected_components(
     distributed. Both paths produce identical (id, min-id) output; tests
     assert the agreement.
     """
-    e = _symmetrize(edges)
-    if e.isEmpty():
+    # persist: the symmetrized alias-edge plan (upstream: co-occurrence
+    # self-join, optional LSH scoring UDFs) is consumed by up to three
+    # actions (count, collect / the iteration below) — without this each
+    # action recomputes the whole linking lineage
+    e = _symmetrize(edges).persist()
+    n_edges = e.count()
+    if n_edges == 0:
+        e.unpersist()
         spark = edges.sparkSession
         return spark.createDataFrame([], "id string, component string")
 
-    if driver_threshold and e.count() <= driver_threshold:
+    if driver_threshold and n_edges <= driver_threshold:
         spark = edges.sparkSession
         pairs = [(r[0], r[1]) for r in e.collect()]
+        e.unpersist()
         mapping = _union_find_local(pairs)
         return spark.createDataFrame(mapping, "id string, component string")
 
+    e0 = e  # unpersist the input cache once the loop owns checkpointed copies
     prev_sig = None
     for _ in range(max_iter):
         e = _large_star(e)
@@ -136,7 +144,9 @@ def connected_components(
             break
         prev_sig = sig
     else:
+        e0.unpersist()
         raise RuntimeError(f"connected_components: no convergence in {max_iter} iterations")
+    e0.unpersist()
 
     # After convergence every edge is (node, component_min).
     comp = e.select(F.col("src").alias("id"), F.col("dst").alias("component"))

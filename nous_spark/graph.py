@@ -60,15 +60,22 @@ def build_graph_tables(
         F.col("id_value").alias("value"), "id_type"
     ).dropDuplicates(["value", "id_type"])
 
-    facts = linked_triples.select(
-        "fact_id", F.col("fact_name").alias("name"), "fact_type"
-    ).dropDuplicates(["fact_id"])
+    # Deterministic merges for facts/sources too: non-key columns CAN
+    # vary per key (fact_id is 'type:name' — a ':' inside type makes two
+    # (type, name) pairs collide on one fact_id; one url recrawled at two
+    # warc_ts yields two ts candidates), and dropDuplicates would keep an
+    # arbitrary row, breaking run-to-run byte identity.
+    facts = linked_triples.groupBy("fact_id").agg(
+        F.min("fact_name").alias("name"), F.min("fact_type").alias("fact_type")
+    ).select("fact_id", "name", "fact_type")
 
-    sources = linked_triples.select(
-        F.col("source_url").alias("source_id"),
-        F.lit(None).cast("string").alias("content"),
-        F.col("warc_ts").alias("ts"),
-    ).dropDuplicates(["source_id"])
+    sources = (
+        linked_triples.groupBy(F.col("source_url").alias("source_id"))
+        .agg(F.min("warc_ts").alias("ts"))
+        .select(
+            "source_id", F.lit(None).cast("string").alias("content"), "ts"
+        )
+    )
 
     # Edge dedup is AGGREGATING, not row-picking: duplicates of one edge
     # key differ in created_at (many pages assert the same edge), and

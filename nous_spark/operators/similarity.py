@@ -60,15 +60,20 @@ def cosine_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Top-k by cosine score (desc), deterministic tiebreak on id —
-    the E1 operator (Qdrant query_points semantics)."""
+    the E1 operator (Qdrant query_points semantics).
+
+    Selection uses orderBy+limit (Spark's distributed TakeOrdered: each
+    partition keeps its local top-k, the driver merges k*parts rows) —
+    NOT a global row_number window, which would shuffle every scored row
+    into one task. The rank window then runs over only k rows.
+    """
     scored = cosine_scores(vectors, query, id_col, vec_col)
     if min_score is not None:
         scored = scored.filter(F.col("score") >= min_score)
+    topk = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
     w = Window.orderBy(F.desc("score"), F.asc(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(id_col, "score", "rank")
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        id_col, "score", "rank"
     )
 
 
@@ -151,6 +156,8 @@ def ivf_train_centroids(
         .limit(sample_size)
         .collect()
     )
+    if not sample:
+        raise ValueError("ivf_train_centroids: no vectors to train on")
     x = np.array([r[vec_col] for r in sample], dtype=np.float64)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)
@@ -236,6 +243,10 @@ def hyperplane_buckets(
     """
     if dim is None:
         first = vectors.select(F.size(vec_col).alias("d")).first()
+        if first is None:  # empty input -> empty buckets, not a crash
+            return vectors.sparkSession.createDataFrame(
+                [], f"{id_col} long, bucket long"
+            )
         dim = int(first["d"])
     rng = np.random.RandomState(seed)
     planes = rng.standard_normal((n_planes, dim))

@@ -62,7 +62,14 @@ def stage_extract(pages: DataFrame) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            texts = [extract_text_str(h) for h in pdf["html"]]
+            # the PAGES contract allows html-less rows carrying text
+            # directly (input_hint: both columns nullable) — fall back so
+            # text-only pages still contribute instead of silently
+            # yielding zero mentions/triples
+            texts = [
+                extract_text_str(h) if h is not None else (t or "")
+                for h, t in zip(pdf["html"], pdf["text"])
+            ]
             mentions = [
                 [{"id_type": a, "id_value": b} for (a, b) in extract_mentions_text(t)]
                 for t in texts
@@ -85,7 +92,9 @@ def stage_extract(pages: DataFrame) -> DataFrame:
                 }
             )
 
-    return pages.select("url", "warc_ts", "lang", "html").mapInPandas(gen, DOCS_SCHEMA)
+    return pages.select("url", "warc_ts", "lang", "html", "text").mapInPandas(
+        gen, DOCS_SCHEMA
+    )
 
 
 def stage_mentions(docs: DataFrame) -> DataFrame:
@@ -234,22 +243,41 @@ class Run:
         return out
 
     def write_lineage(self, stage: str, df: DataFrame) -> None:
-        """Per-partition lineage rows for a materialized stage."""
+        """Per-partition lineage rows for a materialized stage.
+
+        Written to a per-(run_id, stage) directory with OVERWRITE so a
+        resumed/re-invoked run replaces identical rows instead of
+        appending duplicates (the idempotent-sink rule applies to the
+        bookkeeping tables too)."""
         lineage = (
             df.groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(F.count("*").alias("rows_out"))
             .withColumn("run_id", F.lit(self.run_id))
             .withColumn("stage", F.lit(stage))
         )
-        lineage.write.mode("append").parquet(os.path.join(self.out_dir, "lineage"))
+        path = os.path.join(self.out_dir, "lineage", f"run_id={self.run_id}", f"stage={stage}")
+        lineage.drop("run_id", "stage").write.mode("overwrite").parquet(path)
 
     def flush_metrics(self) -> None:
+        """Metrics rows for stages that EXECUTED in this invocation.
+
+        Per-run_id overwrite + merge with previously recorded stages: a
+        resume run (which skips stages and produces no metric rows for
+        them) keeps the original rows; re-running a stage replaces its
+        row — zero duplicates either way."""
         if not self.metrics:
             return
         from nous_spark.schemas import METRICS
 
         mdf = self.spark.createDataFrame(self.metrics, METRICS)
-        mdf.write.mode("append").parquet(os.path.join(self.out_dir, "metrics"))
+        path = os.path.join(self.out_dir, "metrics", f"run_id={self.run_id}")
+        if os.path.exists(path):
+            prior = self.spark.read.schema(METRICS).parquet(path)
+            fresh = {m["stage"] for m in self.metrics}
+            mdf = prior.filter(~F.col("stage").isin(list(fresh))).unionByName(mdf)
+        # materialize before overwriting the directory being read
+        rows = mdf.collect()
+        self.spark.createDataFrame(rows, METRICS).write.mode("overwrite").parquet(path)
         self.metrics = []
 
 

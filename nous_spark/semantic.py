@@ -138,6 +138,68 @@ def build_embeddings(
 # ---------------------------------------------------------------------------
 # RAG recall (E1 + C6 + B8)
 # ---------------------------------------------------------------------------
+def _recall_verified(
+    edges: DataFrame,
+    facts: DataFrame,
+    embeddings: DataFrame,
+    id_type: str,
+    id_value: str,
+    rag_query: str,
+    top_k: int,
+    min_score: float | None,
+    dim: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared RAG plan builder: returns (topk candidates, verified facts).
+
+    Single source of truth for the recall semantics — rag_recall and
+    rag_recall_debug both consume it, so they can never drift.
+    """
+    ent = find_entity_by_identifier(edges, id_type, id_value)
+
+    qv = embed_text(rag_query, dim)
+    qcol = F.array(*[F.lit(float(x)) for x in qv.tolist()])
+    v = F.col("vector").cast("array<double>")
+    # vectors are L2-normalized at build time -> dot product is cosine.
+    # A dim mismatch (query vs stored vectors) must fail loudly, not
+    # silently NULL out of zip_with's padding. The assert lives inside a
+    # CONSUMED filter expression (assert_true returns NULL on success, so
+    # isNull() keeps every row) — a dropped helper column would be pruned
+    # by Catalyst and never execute.
+    dim_guard = F.assert_true(
+        F.size("vector") == F.lit(dim), F.lit("embedding dim mismatch")
+    ).isNull()
+    score = F.aggregate(
+        F.zip_with(v, qcol, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+    hits = (
+        embeddings.join(ent, "entity_id", "left_semi")
+        .filter(dim_guard)
+        .withColumn("score", score)
+    )
+    if min_score is not None:
+        hits = hits.filter(F.col("score") >= min_score)
+    w = Window.partitionBy("entity_id").orderBy(F.desc("score"), F.asc("point_id"))
+    topk = (
+        hits.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("entity_id", "fact_id", "verb", "score", "rank")
+    )
+
+    graph_facts = (
+        edges.filter(F.col("edge_type") == HAS_FACT)
+        .join(ent, edges.src == ent.entity_id, "left_semi")
+        .select(F.col("src").alias("entity_id"), F.col("dst").alias("fact_id"))
+        .dropDuplicates(["entity_id", "fact_id"])
+    )
+    verified = (
+        topk.join(graph_facts, ["entity_id", "fact_id"], "left_semi")
+        .join(F.broadcast(facts), "fact_id")
+        .select("entity_id", "fact_id", "verb", "score", "rank", "name", "fact_type")
+    )
+    return topk, verified
+
+
 def rag_recall(
     edges: DataFrame,
     facts: DataFrame,
@@ -162,47 +224,10 @@ def rag_recall(
 
     Returns (entity_id, fact_id, verb, score, rank, name, fact_type).
     """
-    ent = find_entity_by_identifier(edges, id_type, id_value)
-
-    qv = embed_text(rag_query, dim)
-    qcol = F.array(*[F.lit(float(x)) for x in qv.tolist()])
-    v = F.col("vector").cast("array<double>")
-    # vectors are L2-normalized at build time -> dot product is cosine.
-    # A dim mismatch (query vs stored vectors) must fail loudly, not
-    # silently NULL out of zip_with's padding: assert_true guards it.
-    score = F.aggregate(
-        F.zip_with(v, qcol, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    _, verified = _recall_verified(
+        edges, facts, embeddings, id_type, id_value, rag_query, top_k, min_score, dim
     )
-
-    hits = (
-        embeddings.join(ent, "entity_id", "left_semi")
-        .withColumn(
-            "_dim_ok",
-            F.assert_true(F.size("vector") == F.lit(dim), F.lit("embedding dim mismatch")),
-        )
-        .withColumn("score", score)
-        .drop("_dim_ok")
-    )
-    if min_score is not None:
-        hits = hits.filter(F.col("score") >= min_score)
-    w = Window.partitionBy("entity_id").orderBy(F.desc("score"), F.asc("point_id"))
-    topk = (
-        hits.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= top_k)
-        .select("entity_id", "fact_id", "verb", "score", "rank")
-    )
-
-    graph_facts = (
-        edges.filter(F.col("edge_type") == HAS_FACT)
-        .join(ent, edges.src == ent.entity_id, "left_semi")
-        .select(F.col("src").alias("entity_id"), F.col("dst").alias("fact_id"))
-        .dropDuplicates(["entity_id", "fact_id"])
-    )
-    verified = topk.join(graph_facts, ["entity_id", "fact_id"], "left_semi")
-
-    return verified.join(F.broadcast(facts), "fact_id").select(
-        "entity_id", "fact_id", "verb", "score", "rank", "name", "fact_type"
-    )
+    return verified
 
 
 def rag_recall_debug(
@@ -218,41 +243,17 @@ def rag_recall_debug(
 ) -> tuple[list, dict]:
     """rag_recall plus the reference's RagDebugDto-style timings
     (get_entity_usecase.py:85,136-143,166-176): vector_search_ms,
-    graph_verify_ms, candidate/verified counts. Collects — debug only."""
+    graph_verify_ms, candidate/verified counts. Same plan builder as
+    rag_recall (cannot drift). Collects — debug only."""
     import time
 
-    ent = find_entity_by_identifier(edges, id_type, id_value)
-    qv = embed_text(rag_query, dim)
-    qcol = F.array(*[F.lit(float(x)) for x in qv.tolist()])
-    v = F.col("vector").cast("array<double>")
-    score = F.aggregate(
-        F.zip_with(v, qcol, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    topk, verified = _recall_verified(
+        edges, facts, embeddings, id_type, id_value, rag_query, top_k, min_score, dim
     )
     t0 = time.time()
-    hits = embeddings.join(ent, "entity_id", "left_semi").withColumn("score", score)
-    if min_score is not None:
-        hits = hits.filter(F.col("score") >= min_score)
-    w = Window.partitionBy("entity_id").orderBy(F.desc("score"), F.asc("point_id"))
-    topk = (
-        hits.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= top_k)
-        .select("entity_id", "fact_id", "verb", "score", "rank")
-    )
     n_candidates = topk.count()
     vector_search_ms = (time.time() - t0) * 1000
-
     t1 = time.time()
-    graph_facts = (
-        edges.filter(F.col("edge_type") == HAS_FACT)
-        .join(ent, edges.src == ent.entity_id, "left_semi")
-        .select(F.col("src").alias("entity_id"), F.col("dst").alias("fact_id"))
-        .dropDuplicates(["entity_id", "fact_id"])
-    )
-    verified = (
-        topk.join(graph_facts, ["entity_id", "fact_id"], "left_semi")
-        .join(F.broadcast(facts), "fact_id")
-        .select("entity_id", "fact_id", "verb", "score", "rank", "name", "fact_type")
-    )
     rows = verified.collect()
     graph_verify_ms = (time.time() - t1) * 1000
     debug = {
@@ -325,9 +326,17 @@ def summarize_entities(edges: DataFrame, facts: DataFrame) -> DataFrame:
         F.lit(": "),
         F.col("name"),
     )
+    # sort key is a STRUCT (field-wise comparison), not a delimiter-packed
+    # string — a delimiter occurring inside pred/fact names would corrupt
+    # the extracted clause
     return (
         hf.join(F.broadcast(facts), "fact_id")
-        .withColumn("clause", F.concat_ws("\x1f", F.col("pred"), F.col("fact_id"), clause))
+        .withColumn(
+            "clause",
+            F.struct(
+                F.col("pred").alias("p"), F.col("fact_id").alias("f"), clause.alias("c")
+            ),
+        )
         .groupBy("entity_id")
         .agg(
             F.count("*").alias("n_facts"),
@@ -336,8 +345,7 @@ def summarize_entities(edges: DataFrame, facts: DataFrame) -> DataFrame:
                 F.concat_ws(
                     "; ",
                     F.transform(
-                        F.sort_array(F.collect_list("clause")),
-                        lambda c: F.substring_index(c, "\x1f", -1),
+                        F.sort_array(F.collect_list("clause")), lambda x: x["c"]
                     ),
                 ),
                 F.lit("."),

@@ -145,3 +145,9 @@ def test_lang_id_col_matches_python(spark):
     got = {r["i"]: r["l"] for r in df.select("i", lang_id_col(F.col("text")).alias("l")).collect()}
     for i, t in enumerate(texts):
         assert got[i] == lang_id_text(t), (t, got[i], lang_id_text(t))
+
+
+def test_embedding_near_dups_empty_input(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert embedding_near_dups(empty, threshold=0.9).count() == 0
+    assert embedding_near_dups_exact(empty, threshold=0.9).count() == 0

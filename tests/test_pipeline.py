@@ -156,3 +156,40 @@ def test_empty_corpus_is_graceful(spark, tmp_path):
     assert {k: v.count() for k, v in tables.items()} == {
         "nodes": 0, "identifiers": 0, "facts": 0, "sources": 0, "edges": 0
     }
+
+
+def test_text_only_pages_still_extract(spark):
+    """PAGES allows html-less rows carrying text directly; they must
+    contribute mentions/triples via the text fallback."""
+    import datetime as dt
+
+    from nous_spark.pipeline import stage_extract
+
+    rows = [
+        (
+            "u1",
+            dt.datetime(2024, 1, 1),
+            None,  # no html
+            "Identity: email:t@x.com\nTara lives in Quito.",
+            "en",
+        )
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    doc = stage_extract(pages).collect()[0]
+    assert doc["text"].startswith("Identity:")
+    assert len(doc["mentions"]) == 1
+    assert any(t["pred"] == "lives_in" for t in doc["triples"])
+
+
+def test_lineage_and_metrics_idempotent_on_resume(spark, tmp_path):
+    """Re-running a completed run must not duplicate lineage/metrics rows."""
+    out = str(tmp_path / "lmrun")
+    pages = generate_pages(spark, 30, seed=42)
+    run_pipeline(spark, pages, out, run_id="lm")
+    lineage1 = spark.read.parquet(f"{out}/lineage").count()
+    metrics1 = spark.read.parquet(f"{out}/metrics").count()
+    run_pipeline(spark, pages, out, run_id="lm")  # full resume, all skipped
+    assert spark.read.parquet(f"{out}/lineage").count() == lineage1
+    assert spark.read.parquet(f"{out}/metrics").count() == metrics1

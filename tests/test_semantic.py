@@ -201,3 +201,17 @@ def test_summary_zero_fact_fast_path(spark, graph):
     )
     assert entity_summary(edges, facts, "email", "z@x.com") == NO_FACTS_SUMMARY
     assert entity_summary(edges, facts, "email", "missing@x.com") == NO_FACTS_SUMMARY
+
+
+def test_rag_dim_mismatch_fails_loudly(graph, embeddings):
+    """A query dim different from the stored vectors must raise (the
+    guard must survive Catalyst pruning), never silently return empty."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    edges, facts = graph
+    with pytest.raises((SparkRuntimeException, Py4JJavaError, Exception)) as ei:
+        rag_recall(
+            edges, facts, embeddings, "email", "a@x.com", "hiking", dim=DIM * 2
+        ).collect()
+    assert "dim mismatch" in str(ei.value) or "ASSERT" in str(ei.value).upper()
