@@ -41,7 +41,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_PAGES = int(os.environ.get("NOUS_BENCH_PAGES", "300000"))
 SOFT_DEADLINE = float(os.environ.get("NOUS_BENCH_DEADLINE", "330"))  # sec
-REPEATS = int(os.environ.get("NOUS_BENCH_REPEATS", "2"))
+REPEATS = int(os.environ.get("NOUS_BENCH_REPEATS", "3"))  # deadline-bounded
 FILL = int(os.environ.get("NOUS_BENCH_FILL", "8"))
 CORES_N, CORES_4N = (
     int(x) for x in os.environ.get("NOUS_BENCH_CORES", "2,8").split(",")
