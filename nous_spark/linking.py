@@ -123,6 +123,8 @@ def lsh_alias_candidates(
     n_bands: int = 16,  # r=2: blocking recall >=0.99 for sim>=0.5
     shingle_k: int = 3,
     seed: int = 42,
+    max_bucket: int = 64,
+    top_m: int = 3,
 ) -> DataFrame:
     """Near-identical identifier values -> similarity-scored alias edges.
 
@@ -132,16 +134,23 @@ def lsh_alias_candidates(
     and equi-join on (id_type, band, bucket) — only same-type identifiers
     hashing to a shared bucket ever meet; (2) rank candidates by exact
     char-shingle Jaccard (computed from the pair's values, Arrow-batched);
-    (3) keep pairs with sim >= threshold as (src, dst, sim) alias edges
-    feeding connected components.
+    (3) keep each identifier's top-``top_m`` candidates with sim >=
+    threshold as (src, dst, sim) alias edges feeding CC.
 
-    Everything is deterministic (fixed seed); hot buckets are bounded by
-    band width, and AQE skew-join splits any residual hot bucket.
+    Two skew defenses, both load-bearing (measured: without them a corpus
+    of templated identifiers — personaNNNN@example.com — makes the
+    candidate join quadratic, ~10^8 pairs from 26k identifiers, and the
+    stage never finishes):
+      * ``max_bucket``: buckets holding more than this many identifiers
+        are DROPPED before the self-join. A huge bucket is a shared
+        template/domain pattern, not alias evidence — and any true alias
+        pair also collides in some small bucket with probability
+        1-(1-s^r)^(b-hot) (near 1 for high sim). Bounds the join at
+        max_bucket^2 per bucket.
+      * ``top_m`` ranking: a real identity has a handful of spelling
+        variants; capping candidates per anchor stops one identifier
+        from fanning into thousands of CC edges.
     """
-    import zlib
-
-    import numpy as np
-
     uniq = mentions_with_anchor.select(
         "anchor_id", "id_type", "id_value"
     ).dropDuplicates(["anchor_id"])
@@ -158,8 +167,15 @@ def lsh_alias_candidates(
                 lambda i: F.xxhash64(F.slice("sig", i * r + 1, r).cast("string")),
             )
         ).alias("band", "bucket"),
+    ).persist()
+    small_buckets = (
+        bands.groupBy("id_type", "band", "bucket")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") <= max_bucket)
+        .drop("_n")
     )
-    a_side, b_side = bands.alias("a"), bands.alias("b")
+    bands_ok = bands.join(small_buckets, ["id_type", "band", "bucket"], "left_semi")
+    a_side, b_side = bands_ok.alias("a"), bands_ok.alias("b")
     cands = (
         a_side.join(
             b_side,
@@ -188,8 +204,17 @@ def lsh_alias_candidates(
             out["sim"] = sims
             yield out
 
-    scored = cands.mapInPandas(score, "src string, dst string, sim double")
-    return scored.filter(F.col("sim") >= threshold)
+    scored = cands.mapInPandas(score, "src string, dst string, sim double").filter(
+        F.col("sim") >= threshold
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= top_m)
+        .drop("_rk")
+    )
 
 
 def canonical_mapping(

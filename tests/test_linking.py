@@ -96,3 +96,31 @@ def test_canonical_mapping_without_lsh_keeps_variants_separate(fuzzy_mentions):
     a = entity_id_for("email", "jonathan.doe.1985@example.com")
     b = entity_id_for("email", "jonathan.doe1985@example.com")
     assert m[a] != m[b]
+
+
+def test_lsh_templated_identifier_family_is_bounded(spark):
+    """Measured failure mode: templated identifiers (personaNNNN@...) are
+    all ~0.85-similar, so naive banding makes the candidate join
+    quadratic and CC meaningless. Hot-bucket capping + top-m ranking must
+    (a) keep the stage bounded, (b) NOT cross-link the whole family,
+    while (c) still catching a genuine typo alias."""
+    rows = [
+        ("u%d" % i, 0, "email", f"persona{i:06d}@example.com") for i in range(400)
+    ]
+    # one genuine alias pair: same value with a character doubled
+    rows += [
+        ("ua", 0, "email", "jonathan.doe.1985@gmail.com"),
+        ("ub", 0, "email", "jonathan.doe.19855@gmail.com"),
+    ]
+    m = with_anchor_id(spark.createDataFrame(rows, MENTIONS_SCHEMA))
+    pairs = lsh_alias_candidates(m, threshold=0.8).collect()
+    got = {(r["src"], r["dst"]) for r in pairs}
+    a = entity_id_for("email", "jonathan.doe.1985@gmail.com")
+    b = entity_id_for("email", "jonathan.doe.19855@gmail.com")
+    assert tuple(sorted((a, b))) in got  # the true alias survives
+    # the persona family does not explode: top-m caps fan-out per anchor
+    assert len(pairs) <= 402 * 3
+    from collections import Counter
+
+    fan = Counter(r["src"] for r in pairs)
+    assert max(fan.values()) <= 3
