@@ -794,7 +794,7 @@ def oracle_sql() -> dict[str, str]:
             FROM (
               SELECT src, dst, row_number() OVER (
                 PARTITION BY src
-                ORDER BY is_primary DESC NULLS LAST, created_at ASC, dst ASC
+                ORDER BY is_primary DESC NULLS LAST, created_at ASC NULLS LAST, dst ASC
               ) AS rn
               FROM edges WHERE edge_type = 'HAS_IDENTIFIER'
             ) WHERE rn = 1

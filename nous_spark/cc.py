@@ -93,6 +93,7 @@ def connected_components(
     max_iter: int = 20,
     checkpoint: bool = True,
     driver_threshold: int = 2_000_000,
+    driver_max_bytes: int | None = None,
 ) -> DataFrame:
     """edges(src, dst) -> (id, component=min id of the component).
 
@@ -107,19 +108,42 @@ def connected_components(
     at local scale. Above it, the large-star/small-star loop runs fully
     distributed. Both paths produce identical (id, min-id) output; tests
     assert the agreement.
+
+    The driver shortcut is gated in BYTES, not just edge count: the
+    collect builds ~2 Python strings + a tuple + ~2 union-find dict
+    entries per edge, so a near-threshold graph of wide ids can be
+    multiple GB of driver heap. Estimated driver bytes =
+    n_edges * (2*avg(len(src)+len(dst)) + 400) must stay under
+    ``driver_max_bytes`` (default ``NOUS_CC_DRIVER_MAX_BYTES`` or 2 GiB)
+    or the distributed path runs instead.
     """
+    if driver_max_bytes is None:
+        import os
+
+        driver_max_bytes = int(
+            os.environ.get("NOUS_CC_DRIVER_MAX_BYTES", str(2 * 1024**3))
+        )
     # persist: the symmetrized alias-edge plan (upstream: co-occurrence
     # self-join, optional LSH scoring UDFs) is consumed by up to three
-    # actions (count, collect / the iteration below) — without this each
+    # actions (stats, collect / the iteration below) — without this each
     # action recomputes the whole linking lineage
     e = _symmetrize(edges).persist()
-    n_edges = e.count()
+    stats = e.agg(
+        F.count("*").alias("n"),
+        F.avg(F.length("src") + F.length("dst")).alias("w"),
+    ).collect()[0]
+    n_edges = stats["n"]
     if n_edges == 0:
         e.unpersist()
         spark = edges.sparkSession
         return spark.createDataFrame([], "id string, component string")
+    est_driver_bytes = int(n_edges * (2 * float(stats["w"] or 0.0) + 400))
 
-    if driver_threshold and n_edges <= driver_threshold:
+    if (
+        driver_threshold
+        and n_edges <= driver_threshold
+        and est_driver_bytes <= driver_max_bytes
+    ):
         spark = edges.sparkSession
         pairs = [(r[0], r[1]) for r in e.collect()]
         e.unpersist()

@@ -215,7 +215,11 @@ def entity_facts(
 ) -> DataFrame:
     """All (entity_id, pred, fact_id, name, fact_type, confidence) of the
     given entities — OPTIONAL MATCH (e)-[hf:HAS_FACT]->(f) (C2) with the
-    north_star's predicate filter. ``facts`` is a dimension -> broadcast."""
+    north_star's predicate filter. The ``facts`` join is left to AQE:
+    ``facts`` grows with the corpus (one row per distinct fact), so a
+    static broadcast hint would OOM at web scale; the entity-filtered
+    probe side is tiny, and AQE broadcasts whichever side is actually
+    small at runtime."""
     hf = edges.filter(F.col("edge_type") == HAS_FACT).select(
         F.col("src").alias("entity_id"),
         F.col("dst").alias("fact_id"),
@@ -226,7 +230,7 @@ def entity_facts(
         hf = hf.filter(F.col("pred") == pred)
     return (
         entity_ids.join(hf, "entity_id", "inner")
-        .join(F.broadcast(facts), "fact_id", "inner")
+        .join(facts, "fact_id", "inner")
         .select("entity_id", "pred", "fact_id", "name", "fact_type", "confidence")
     )
 
@@ -256,7 +260,7 @@ def entity_neighborhood(
     )
     return (
         e.join(hf, "entity_id", "left")
-        .join(F.broadcast(facts), "fact_id", "left")
+        .join(facts, "fact_id", "left")  # unbounded dim — AQE decides
         .join(df_edges, "fact_id", "left")
         .select(
             "entity_id", "pred", "fact_id", "name", "fact_type", "confidence", "source_id"
@@ -268,8 +272,11 @@ def primary_identifier(edges: DataFrame) -> DataFrame:
     """One identifier per entity: primary first, then earliest created
     (age_repository.py:380-414 — the reference's ranked preference pick)."""
     hi = edges.filter(F.col("edge_type") == HAS_IDENTIFIER)
+    # asc_nulls_last: Spark's plain asc puts NULLs FIRST while the DuckDB
+    # oracle's ASC defaults to NULLS LAST — pin both sides explicitly so
+    # mixed null/non-null created_at per entity stays deterministic.
     w = Window.partitionBy("src").orderBy(
-        F.desc_nulls_last("is_primary"), F.asc("created_at"), F.asc("dst")
+        F.desc_nulls_last("is_primary"), F.asc_nulls_last("created_at"), F.asc("dst")
     )
     return (
         hi.withColumn("rn", F.row_number().over(w))

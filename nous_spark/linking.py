@@ -157,6 +157,11 @@ def lsh_alias_candidates(
     sigs = identifier_signatures(uniq, n_hashes, shingle_k, seed)
     r = n_hashes // n_bands
 
+    # persisted for the duration of this function only: the bucket-size
+    # scan and both self-join sides read it; the eager localCheckpoint of
+    # the (small, top-m-capped) result below lets us unpersist before
+    # returning, so repeated operator calls in a long-lived session don't
+    # accumulate cached band tables in executor storage.
     bands = sigs.select(
         "anchor_id",
         "id_type",
@@ -210,11 +215,15 @@ def lsh_alias_candidates(
     from pyspark.sql import Window
 
     w = Window.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
-    return (
+    out = (
         scored.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= top_m)
         .drop("_rk")
     )
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        bands.unpersist()
 
 
 def canonical_mapping(

@@ -21,11 +21,14 @@ relative to /root/reference/apps/api/app/features/graph/):
     0.7-0.9 "likely", <0.7 "possibly", prompt :48-54) and the zero-fact
     fast path (usecases/get_entity_summary.py:70-73).
 
-Scale notes: embeddings are generated map-side (no shuffle beyond the
-broadcast facts join); RAG scoring scans only the entity's partition
-slice (semi-join first, then score — the analog of Qdrant's payload-
-filtered search); summaries aggregate per entity with map-side partial
-aggregation.
+Scale notes: embeddings are generated map-side (the facts join is left
+to AQE — ``facts`` has one row per distinct fact and grows with the
+corpus, so a forced broadcast hint would OOM at 10^9-page scale; AQE
+converts to broadcast at runtime whenever the actual size is under
+autoBroadcastJoinThreshold, which covers every local/test corpus); RAG
+scoring scans only the entity's partition slice (semi-join first, then
+score — the analog of Qdrant's payload-filtered search); summaries
+aggregate per entity with map-side partial aggregation.
 """
 
 from __future__ import annotations
@@ -117,7 +120,7 @@ def build_embeddings(
         F.col("dst").alias("fact_id"),
         F.col("pred").alias("verb"),
     )
-    with_fact = hf.join(F.broadcast(facts), "fact_id")
+    with_fact = hf.join(facts, "fact_id")  # size decided by AQE (module note)
     sent = synthetic_sentence_col(F.col("verb"), F.col("fact_type"), F.col("name"))
     key = F.concat_ws("\x1f", F.lit(tenant_id), "entity_id", "verb", "fact_id")
     return (
@@ -194,7 +197,7 @@ def _recall_verified(
     )
     verified = (
         topk.join(graph_facts, ["entity_id", "fact_id"], "left_semi")
-        .join(F.broadcast(facts), "fact_id")
+        .join(facts, "fact_id")  # topk side is tiny; AQE broadcasts it
         .select("entity_id", "fact_id", "verb", "score", "rank", "name", "fact_type")
     )
     return topk, verified
@@ -330,7 +333,7 @@ def summarize_entities(edges: DataFrame, facts: DataFrame) -> DataFrame:
     # string — a delimiter occurring inside pred/fact names would corrupt
     # the extracted clause
     return (
-        hf.join(F.broadcast(facts), "fact_id")
+        hf.join(facts, "fact_id")  # unbounded dim — AQE picks the strategy
         .withColumn(
             "clause",
             F.struct(

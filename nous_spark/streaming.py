@@ -63,28 +63,43 @@ def assimilate_batch(
     Returns per-table appended-row counts. Reused by both the streaming
     ``foreachBatch`` hook and ad-hoc incremental loads.
     """
-    docs = stage_extract(pages)
-    mentions = stage_mentions(docs)
-    mapping = canonical_mapping(mentions)
-    linked = stage_link(docs, mentions, mapping)
-    mentions_mapped = mentions.join(mapping, "anchor_id").select(
-        "url", "mention_rank", "id_type", "id_value", "entity_id", "warc_ts"
-    )
-    tables = build_graph_tables(linked, mentions_mapped)
-
-    appended: dict[str, int] = {}
-    for name in GRAPH_TABLES:
-        path = os.path.join(graph_dir, name)
-        appended[name] = idempotent_write(tables[name], path, TABLE_KEYS[name])
-
-    if with_embeddings:
-        from nous_spark.semantic import build_embeddings
-
-        emb = build_embeddings(tables["edges"], tables["facts"])
-        appended["embeddings"] = idempotent_write(
-            emb, os.path.join(graph_dir, "embeddings"), ["point_id"]
+    # Persist the shared stage frames: the 5-7 idempotent writes below
+    # each trigger an action, and without caching every one would re-run
+    # the full extract->mentions->link lineage — the dominant pandas-UDF
+    # extraction cost would execute ~6x per micro-batch (the batch
+    # pipeline avoids this by checkpointing each stage to parquet).
+    docs = stage_extract(pages).persist()
+    mentions = stage_mentions(docs).persist()
+    try:
+        mapping = canonical_mapping(mentions)
+        linked = stage_link(docs, mentions, mapping).persist()
+        mentions_mapped = (
+            mentions.join(mapping, "anchor_id")
+            .select("url", "mention_rank", "id_type", "id_value", "entity_id", "warc_ts")
+            .persist()
         )
-    return appended
+        try:
+            tables = build_graph_tables(linked, mentions_mapped)
+
+            appended: dict[str, int] = {}
+            for name in GRAPH_TABLES:
+                path = os.path.join(graph_dir, name)
+                appended[name] = idempotent_write(tables[name], path, TABLE_KEYS[name])
+
+            if with_embeddings:
+                from nous_spark.semantic import build_embeddings
+
+                emb = build_embeddings(tables["edges"], tables["facts"])
+                appended["embeddings"] = idempotent_write(
+                    emb, os.path.join(graph_dir, "embeddings"), ["point_id"]
+                )
+            return appended
+        finally:
+            linked.unpersist()
+            mentions_mapped.unpersist()
+    finally:
+        docs.unpersist()
+        mentions.unpersist()
 
 
 def read_pages_stream(spark: SparkSession, pages_dir: str, max_files: int | None = None) -> DataFrame:
