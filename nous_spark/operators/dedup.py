@@ -147,16 +147,33 @@ def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
     n_bands: int = 16,
+    n_hashes: int | None = None,
+    max_bucket: int = 256,
 ) -> DataFrame:
     """Band the signatures and self-join per bucket -> candidate (a, b) pairs.
 
     Bucket key = (band index, xxhash of the band slice); pairs are emitted
     once (a < b) and deduped across bands.
+
+    ``n_hashes`` should be passed by callers that know the signature
+    length (minhash_near_dups does); the ``first()`` fallback exists only
+    for standalone use and costs one extra job.
+
+    ``max_bucket`` is the hot-bucket cap (same defense as the identifier
+    path, linking.lsh_alias_candidates): (band, bucket) groups holding
+    more than ``max_bucket`` docs are DROPPED before the self-join. A
+    huge bucket is shared boilerplate, not near-dup evidence — a
+    boilerplate-heavy corpus would otherwise put ~n docs in one bucket
+    and make this join quadratic in corpus size. Any true near-dup pair
+    (high Jaccard) still collides in some *small* bucket with probability
+    ~1-(1-s^r)^(b-hot); the cap bounds the join at max_bucket^2 rows per
+    bucket regardless of corpus size.
     """
-    n_hashes = 64  # matches minhash_signatures default; slice size derived below
-    sig_len_row = signatures.select(F.size("sig").alias("n")).first()
-    if sig_len_row is not None:
-        n_hashes = sig_len_row["n"]
+    if n_hashes is None:
+        n_hashes = 64  # matches minhash_signatures default
+        sig_len_row = signatures.select(F.size("sig").alias("n")).first()
+        if sig_len_row is not None:
+            n_hashes = sig_len_row["n"]
     r = n_hashes // n_bands
 
     bands = signatures.select(
@@ -168,6 +185,13 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "bucket"),
     )
+    small = (
+        bands.groupBy("band", "bucket")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") <= max_bucket)
+        .drop("_n")
+    )
+    bands = bands.join(small, ["band", "bucket"], "left_semi")
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -191,28 +215,95 @@ def minhash_near_dups(
     n_bands: int = 16,
     shingle_k: int = 5,
     seed: int = 42,
+    max_bucket: int = 256,
 ) -> DataFrame:
     """Near-duplicate pairs with estimated Jaccard >= threshold.
 
     Estimate = fraction of agreeing minhash positions (unbiased for true
-    Jaccard). Returns (id_a, id_b, est_jaccard).
+    Jaccard). Returns (id_a, id_b, est_jaccard), eagerly materialized
+    (localCheckpoint) so the signature cache can be released before
+    returning — repeated operator calls don't accumulate cached blocks.
     """
-    # Materialize signatures once: the JVM sig expression would otherwise
+    # Materialize signatures once: the sig expression would otherwise
     # be re-inlined by Catalyst into every band slice and both join sides
     # (16 bands x 64 hashes x shingles — measured minutes instead of
     # seconds at sf0.1). MEMORY_AND_DISK: sigs are 8B x n_hashes per doc.
     sigs = minhash_signatures(docs, id_col, text_col, n_hashes, shingle_k, seed).persist()
-    cands = lsh_candidate_pairs(sigs, id_col, n_bands)
-    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
-    agree = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
-    return (
-        cands.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("est_jaccard", agree / F.size("sig_a"))
-        .filter(F.col("est_jaccard") >= threshold)
-        .select("id_a", "id_b", "est_jaccard")
+    try:
+        cands = lsh_candidate_pairs(sigs, id_col, n_bands, n_hashes, max_bucket)
+        sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+        sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+        agree = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+        out = (
+            cands.join(sa, "id_a")
+            .join(sb, "id_b")
+            .withColumn("est_jaccard", agree / F.size("sig_a"))
+            .filter(F.col("est_jaccard") >= threshold)
+            .select("id_a", "id_b", "est_jaccard")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        sigs.unpersist()
+
+
+def _shingle_hash_arr(text_col: str, k: int):
+    """Distinct word-k-gram xxhash64 array, built JVM-side — the SAME
+    shingle definition as the DuckDB oracle (regexp_split_to_array on
+    trimmed text, k-word slices, DISTINCT), so exact Jaccard computed
+    from these arrays is oracle-checkable."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.greatest(F.size(words) - (k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i + 1, k))),
+        )
     )
+
+
+def minhash_verified_near_dups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    n_hashes: int = 64,
+    n_bands: int = 16,
+    shingle_k: int = 5,
+    seed: int = 42,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """MinHash-LSH blocking + EXACT word-k-gram Jaccard verification.
+
+    The production near-dup shape: sketch banding prunes the pair space
+    (never all-pairs), then every candidate is verified with the exact
+    Jaccard of the pair's distinct shingle sets — array_intersect on the
+    two docs' shingle-hash arrays, JVM-side. Every returned (id_a, id_b,
+    jaccard) is therefore a TRUE near-dup at >= threshold, which makes
+    this operator oracle-checkable against an all-pairs exact Jaccard in
+    DuckDB whenever blocking recall is 1 on the corpus (banding with
+    r=n_hashes/n_bands: a pair at Jaccard s survives with
+    1-(1-s^r)^n_bands ~ 1-1e-6 at s>=0.87, r=4, b=16).
+    """
+    sigs = minhash_signatures(docs, id_col, text_col, n_hashes, shingle_k, seed).persist()
+    try:
+        cands = lsh_candidate_pairs(sigs, id_col, n_bands, n_hashes, max_bucket)
+        shingled = docs.select(
+            F.col(id_col), _shingle_hash_arr(text_col, shingle_k).alias("sh")
+        )
+        sa = shingled.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+        sb = shingled.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size("sh_a") + F.size("sh_b") - inter
+        out = (
+            cands.join(sa, "id_a")
+            .join(sb, "id_b")
+            .withColumn("jaccard", F.round(inter / union, 4))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        sigs.unpersist()
 
 
 # --------------------------------------------------------------------------
@@ -322,6 +413,7 @@ def simhash_near_dups(
     text_col: str = "text",
     max_hamming: int = 3,
     seed: int = 42,
+    max_bucket: int = 256,
 ) -> DataFrame:
     """Pairs with hamming(simhash_a, simhash_b) <= max_hamming.
 
@@ -329,45 +421,65 @@ def simhash_near_dups(
     pair within hamming<=3 must agree on >=1 chunk (pigeonhole), so the
     candidate join is an equi-join on (chunk_idx, chunk_value). The
     verification (bit_count of xor) runs JVM-side.
+
+    ``max_bucket``: expected (chunk_idx, chunk_val) population is
+    n/65536 per chunk value, i.e. candidates grow ~n^2/65536 with corpus
+    size — at web scale hot chunk buckets (boilerplate fingerprints)
+    must be capped like the MinHash bands. Buckets above the cap are
+    dropped before the self-join; a true near-dup pair (hamming<=3)
+    agrees on >=1 of 4 chunks and only loses out if ALL of its agreeing
+    chunks are hot — i.e. the pair is itself boilerplate.
     """
     # persist: the fingerprint expression would be re-inlined into all
-    # four chunk extractions and both join sides otherwise
+    # four chunk extractions and both join sides otherwise; released in
+    # the finally after the eager localCheckpoint of the (small) result
     fp = simhash_fingerprints(docs, id_col, text_col, seed).persist()
-    chunks = fp.select(
-        id_col,
-        "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF))
-                    for i in range(4)
-                ]
+    try:
+        chunks = fp.select(
+            id_col,
+            "simhash",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftrightunsigned("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF))
+                        for i in range(4)
+                    ]
+                )
+            ).alias("chunk_idx", "chunk_val"),
+        )
+        small = (
+            chunks.groupBy("chunk_idx", "chunk_val")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") <= max_bucket)
+            .drop("_n")
+        )
+        chunks = chunks.join(small, ["chunk_idx", "chunk_val"], "left_semi")
+        a = chunks.alias("a")
+        b = chunks.alias("b")
+        cands = (
+            a.join(
+                b,
+                (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+                & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
             )
-        ).alias("chunk_idx", "chunk_val"),
-    )
-    a = chunks.alias("a")
-    b = chunks.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col("a.simhash").alias("sh_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.col("b.simhash").alias("sh_b"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("b.simhash").alias("sh_b"),
+        hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        out = (
+            cands.withColumn("hamming", hamming)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming")
         )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
-        cands.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-    )
+        return out.localCheckpoint(eager=True)
+    finally:
+        fp.unpersist()
 
 
 # --------------------------------------------------------------------------
@@ -414,29 +526,74 @@ def embedding_near_dups(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_tables: int = 8,
+    max_bucket: int = 256,
 ) -> DataFrame:
-    """Near-duplicate embeddings at scale: random-hyperplane LSH blocking
-    then exact cosine verification inside each bucket.
+    """Near-duplicate embeddings at scale: STACKED random-hyperplane LSH
+    tables for blocking, then exact cosine verification per candidate.
 
     Vectors with cosine >= threshold (angle theta) collide on all
-    n_planes sign bits with probability (1 - theta/pi)^n — at 0.95
-    (theta~18deg) and n=8 that's ~0.42 per table; production stacks
-    multiple hash tables for recall (kept single-table here; the operator
-    contract is "every returned pair is a true near-dup", not recall=1).
+    n_planes sign bits with probability p = (1 - theta/pi)^n_planes —
+    ~0.43 per table at 0.95 (theta~18deg), n=8. A single table therefore
+    misses most true near-dups; stacking ``n_tables`` independent tables
+    (fresh seeded planes each) and unioning candidates lifts recall to
+    1-(1-p)^n_tables ~ 0.99 at the defaults, at n_tables x banding cost
+    (the standard LSH recall/cost dial; tested against the exact
+    all-pairs operator with a recall >= 0.9 gate).
+
+    ``max_bucket``: expected bucket population is n/2^n_planes and grows
+    with the corpus — hot buckets (near-zero vectors, boilerplate
+    embeddings) are dropped per table before the self-join, same defense
+    as the MinHash band cap.
     """
     from nous_spark.operators.similarity import hyperplane_buckets
 
-    buckets = hyperplane_buckets(vectors, n_planes, None, seed, id_col, vec_col)
-    with_bucket = vectors.join(buckets, id_col)
-    a = with_bucket.select(
-        F.col("bucket"),
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).cast("array<double>").alias("va"),
+    dim_row = vectors.select(F.size(vec_col).alias("d")).first()
+    if dim_row is None:  # empty input -> empty result, not a crash
+        return vectors.sparkSession.createDataFrame(
+            [], f"id_a long, id_b long, cosine double"
+        )
+    dim = int(dim_row["d"])
+
+    per_table = []
+    for t in range(n_tables):
+        bt = hyperplane_buckets(
+            vectors, n_planes, dim, seed + 7919 * t, id_col, vec_col
+        ).withColumn("tbl", F.lit(t))
+        per_table.append(bt)
+    buckets = per_table[0]
+    for bt in per_table[1:]:
+        buckets = buckets.unionByName(bt)
+    small = (
+        buckets.groupBy("tbl", "bucket")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") <= max_bucket)
+        .drop("_n")
     )
-    b = with_bucket.select(
+    buckets = buckets.join(small, ["tbl", "bucket"], "left_semi")
+
+    a = buckets.select("tbl", "bucket", F.col(id_col).alias("id_a"))
+    b = buckets.select(
+        F.col("tbl").alias("tbl_b"),
         F.col("bucket").alias("bucket_b"),
         F.col(id_col).alias("id_b"),
-        F.col(vec_col).cast("array<double>").alias("vb"),
+    )
+    cands = (
+        a.join(
+            b,
+            (F.col("tbl") == F.col("tbl_b"))
+            & (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])  # across tables
+    )
+
+    va = vectors.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va")
+    )
+    vb = vectors.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb")
     )
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
@@ -445,7 +602,8 @@ def embedding_near_dups(
         F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
     )
     return (
-        a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("id_a") < F.col("id_b")))
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("cosine", dot / (norm(F.col("va")) * norm(F.col("vb"))))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
@@ -461,6 +619,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.5,
+    max_df: int = 256,
 ) -> DataFrame:
     """Exact word-k-gram Jaccard similarity for all pairs sharing >=1 gram.
 
@@ -468,41 +627,56 @@ def ngram_jaccard_pairs(
     split/sequence/slice/xxhash64 expression as the JVM minhash), explode
     distinct, equi-join on shingle, |A∩B| via group-count,
     |A∪B| = |A|+|B|-|A∩B|. No Python workers.
+
+    ``max_df`` is the stop-shingle cap: a shingle present in d documents
+    contributes ~d^2/2 join rows, so one boilerplate k-gram shared by
+    10^5 docs would emit 10^10 pairs. Shingles with document frequency
+    > max_df are dropped BEFORE the equi-join AND before the size
+    counts, so the emitted value is the exact Jaccard over the
+    *non-ubiquitous* shingle universe — consistent on both sides of the
+    ratio (a stop-shingle is not dedup evidence, same argument as the
+    LSH hot-bucket drop). The DuckDB oracle mirrors the cap exactly.
     """
-    words = F.split(F.col(text_col), r"\s+")
-    n = F.greatest(F.size(words) - (k - 1), F.lit(1))
-    shingle_arr = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), n - 1),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i + 1, k))),
-        )
-    )
     shingled = docs.select(
-        F.col(id_col), F.explode(shingle_arr).alias("shingle")
-    ).persist()  # reused by sizes + both join sides
-    sizes = shingled.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a = shingled.alias("a")
-    b = shingled.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .agg(F.count("*").alias("n_shared"))
+        F.col(id_col), F.explode(_shingle_hash_arr(text_col, k)).alias("shingle")
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+    rare = (
+        shingled.groupBy("shingle")
+        .agg(F.count("*").alias("_df"))  # shingles are distinct per doc => count = df
+        .filter(F.col("_df") <= max_df)
+        .drop("_df")
     )
+    shingled = shingled.join(rare, "shingle", "left_semi").persist()
+    try:  # reused by sizes + both join sides; released after the eager result
+        sizes = shingled.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+        a = shingled.alias("a")
+        b = shingled.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .groupBy(
+                F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+            )
+            .agg(F.count("*").alias("n_shared"))
+        )
+        sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+        sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+        out = (
+            inter.join(sa, "id_a")
+            .join(sb, "id_b")
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                    4,
+                ),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shingled.unpersist()
