@@ -285,7 +285,9 @@ def primary_identifier(edges: DataFrame) -> DataFrame:
     )
 
 
-def recanonicalize_graph(tables: dict[str, DataFrame]) -> dict[str, DataFrame]:
+def recanonicalize_graph(
+    tables: dict[str, DataFrame], max_share: int = 128
+) -> dict[str, DataFrame]:
     """Periodic cross-batch alias compaction (the batch half of the
     streaming lambda split — streaming.py assimilates with per-batch CC
     only, so an alias discovered in a later batch can leave two canonical
@@ -297,12 +299,28 @@ def recanonicalize_graph(tables: dict[str, DataFrame]) -> dict[str, DataFrame]:
     share-graph elects min-id canonicals; every edge src and node is
     rewritten and re-merged with the same deterministic aggregation the
     materializer uses. Idempotent: a second run is a no-op (tested).
+
+    ``max_share`` guards the self-join against a degenerate hot dst:
+    under the uniqueness invariant each identifier links a handful of
+    entity ids, but a garbage crawl value (empty string, "unknown",
+    template artifacts) shared by 10^5 entities would make the join
+    quadratic AND wrongly merge unrelated identities. Identifier dsts
+    shared by more than ``max_share`` entities are excluded from the
+    share-graph (pre-aggregated group sizes, left_semi) — they are
+    treated as non-evidence, same argument as the dedup hot-bucket drop.
     """
     from nous_spark.cc import connected_components
 
     edges, nodes = tables["edges"], tables["nodes"]
     hi = edges.filter(F.col("edge_type") == HAS_IDENTIFIER).select("src", "dst")
-    a, b = hi.alias("a"), hi.alias("b")
+    sane_dsts = (
+        hi.groupBy("dst")
+        .agg(F.countDistinct("src").alias("_n"))
+        .filter(F.col("_n") <= max_share)
+        .drop("_n")
+    )
+    hi_ok = hi.join(sane_dsts, "dst", "left_semi")
+    a, b = hi_ok.alias("a"), hi_ok.alias("b")
     share = (
         a.join(b, (F.col("a.dst") == F.col("b.dst")) & (F.col("a.src") < F.col("b.src")))
         .select(F.col("a.src").alias("src"), F.col("b.src").alias("dst"))

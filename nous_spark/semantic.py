@@ -298,7 +298,12 @@ def remove_entity_vectors(
 NO_FACTS_SUMMARY = "This entity has no recorded facts in the knowledge graph."
 
 
-def summarize_entities(edges: DataFrame, facts: DataFrame) -> DataFrame:
+def summarize_entities(
+    edges: DataFrame,
+    facts: DataFrame,
+    max_facts: int | None = None,
+    n_salts: int = 16,
+) -> DataFrame:
     """Per-entity natural-language summary (template-based G3 analog).
 
     Confidence qualifiers per the reference prompt
@@ -307,6 +312,18 @@ def summarize_entities(edges: DataFrame, facts: DataFrame) -> DataFrame:
     output is deterministic. Entities with zero HAS_FACT edges get the
     fixed zero-fact string (get_entity_summary.py:70-73) — handled by
     callers that left-join this result and coalesce.
+
+    ``max_facts``: the hot-entity guard. collect_list puts ALL of an
+    entity's clauses in one reducer — a million-fact entity is a reducer
+    OOM (and a useless summary). With ``max_facts`` set, aggregation
+    runs as an explicit two-phase SALTED top-k merge (skew.py pattern):
+    phase 1 keeps each (entity, salt) bucket's first ``max_facts``
+    clauses in global sort order, phase 2 merges the <= n_salts partial
+    lists and re-truncates — the global first-k clauses are always
+    contained in the union of per-bucket first-k, so the result equals
+    the single-phase summary truncated to k clauses, while reducer
+    memory is bounded by n_salts * max_facts per entity. ``n_facts``
+    still reports the TOTAL fact count.
 
     Returns (entity_id, n_facts, summary).
     """
@@ -332,28 +349,44 @@ def summarize_entities(edges: DataFrame, facts: DataFrame) -> DataFrame:
     # sort key is a STRUCT (field-wise comparison), not a delimiter-packed
     # string — a delimiter occurring inside pred/fact names would corrupt
     # the extracted clause
-    return (
-        hf.join(facts, "fact_id")  # unbounded dim — AQE picks the strategy
-        .withColumn(
-            "clause",
-            F.struct(
-                F.col("pred").alias("p"), F.col("fact_id").alias("f"), clause.alias("c")
-            ),
+    clauses = hf.join(facts, "fact_id").withColumn(
+        "clause",
+        F.struct(
+            F.col("pred").alias("p"), F.col("fact_id").alias("f"), clause.alias("c")
+        ),
+    )  # facts join: unbounded dim — AQE picks the strategy
+
+    def render(clause_arr):
+        return F.concat(
+            F.lit("The entity "),
+            F.concat_ws("; ", F.transform(clause_arr, lambda x: x["c"])),
+            F.lit("."),
         )
-        .groupBy("entity_id")
-        .agg(
+
+    if max_facts is None:
+        return clauses.groupBy("entity_id").agg(
             F.count("*").alias("n_facts"),
-            F.concat(
-                F.lit("The entity "),
-                F.concat_ws(
-                    "; ",
-                    F.transform(
-                        F.sort_array(F.collect_list("clause")), lambda x: x["c"]
-                    ),
-                ),
-                F.lit("."),
-            ).alias("summary"),
+            render(F.sort_array(F.collect_list("clause"))).alias("summary"),
         )
+
+    from nous_spark.skew import with_salt
+
+    partial = (
+        with_salt(clauses, n_salts)
+        .groupBy("entity_id", "_salt")
+        .agg(
+            F.count("*").alias("_pc"),
+            F.slice(F.sort_array(F.collect_list("clause")), 1, max_facts).alias("_pl"),
+        )
+    )
+    merged = partial.groupBy("entity_id").agg(
+        F.sum("_pc").cast("long").alias("n_facts"),
+        F.slice(
+            F.sort_array(F.flatten(F.collect_list("_pl"))), 1, max_facts
+        ).alias("_cl"),
+    )
+    return merged.select(
+        "entity_id", "n_facts", render(F.col("_cl")).alias("summary")
     )
 
 
