@@ -27,16 +27,16 @@ from nous_spark.operators.dedup import (
     embedding_near_dups,
     embedding_near_dups_exact,
     exact_dedup,
-    minhash_near_dups,
+    minhash_verified_near_dups,
     ngram_jaccard_pairs,
     simhash_near_dups,
 )
 from nous_spark.operators.multimodal import image_features, synth_media
 from nous_spark.operators.similarity import batch_cosine_topk, cosine_scores, lsh_ann_topk
 from nous_spark.operators.text import (
-    bpe_ish_token_count,
+    bpe_ish_token_count_col,
     canonical_url_udf,
-    fingerprint_udf,
+    fingerprint_col,
     lang_id_col,
     quality_columns,
     quality_score_cols,
@@ -439,17 +439,24 @@ def _q_kg_salted_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ----------------------------- non-SQL-expressible (rows-only check) -------
 def _q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_near_dups(_t(spark, sf_dir, "documents"), threshold=0.5)
-
-
-def _q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_near_dups(_t(spark, sf_dir, "documents"), max_hamming=8)
+    """MinHash-LSH blocking + exact shingle-Jaccard verification: every
+    emitted pair is a true near-dup, so the pair set is oracle-checkable
+    against DuckDB's all-pairs exact Jaccard (banding recall ~1 on the
+    bimodal corpus — true pairs sit at J>=0.87 where the r=4/b=16
+    S-curve passes 1-1e-6)."""
+    return minhash_verified_near_dups(
+        _t(spark, sf_dir, "documents"), threshold=0.5, shingle_k=5
+    )
 
 
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), k=3, threshold=0.3)
+
+
+# ----------------------------- non-SQL-expressible (rows-only check) -------
+def _q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_near_dups(_t(spark, sf_dir, "documents"), max_hamming=8)
 
 
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -473,13 +480,14 @@ def _q_emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_kg_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector-mirror build (A4): deterministic point ids + feature-hash
-    vectors for every HAS_FACT edge of the tpch graph."""
+    vectors for every HAS_FACT edge of the tpch graph. The emitted
+    (entity, fact, verb, dim) row set is oracle-checkable (point_id is
+    uuid5 — no SQL analog; its determinism is pytest-gated in
+    test_semantic)."""
     edges = tpch_edges(spark, sf_dir)
     facts = tpch_facts(spark, sf_dir)
     emb = build_embeddings(edges, facts, dim=64)
-    return emb.select(
-        "point_id", "entity_id", "fact_id", "verb", F.size("vector").alias("dim")
-    )
+    return emb.select("entity_id", "fact_id", "verb", F.size("vector").alias("dim"))
 
 
 def _q_kg_rag_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -497,12 +505,17 @@ def _q_kg_rag_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints, md5-based Column form (JVM, codegen) —
+    formula shared verbatim with the DuckDB oracle."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", fingerprint_udf(F.col("text")).alias("fingerprint"))
+    return docs.select("doc_id", fingerprint_col(F.col("text")).alias("fingerprint"))
 
 
 def _q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return bpe_ish_token_count(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", bpe_ish_token_count_col(F.col("text")).alias("n_tokens")
+    )
 
 
 def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -591,23 +604,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_salted_collect": _q_kg_salted_collect,
         "kg_expand_hops": _q_kg_expand_hops,
         "doc_quality_filter": _q_doc_quality_filter,
-        # rows-only (non-SQL-expressible: seeded sketches / UDF heuristics)
         "doc_minhash_near_dups": _q_minhash_near_dups,
-        "doc_simhash_near_dups": _q_simhash_near_dups,
         "doc_ngram_jaccard": _q_ngram_jaccard,
         "doc_lang_id_confusion": _q_lang_id,
+        "doc_bpe_tokens": _q_doc_bpe_tokens,
+        "doc_fingerprints": _q_doc_fingerprints,
+        "ann_batch_topk": _q_ann_batch_topk,
+        "kg_embeddings_build": _q_kg_embeddings,
+        # rows-only (non-SQL-expressible: seeded sketches / UDF heuristics /
+        # uuid5 point ids / urllib canonicalization)
+        "doc_simhash_near_dups": _q_simhash_near_dups,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "kg_pipeline_triples": _q_kg_pipeline,
         "emb_near_dup_lsh": _q_emb_near_dup_lsh,
-        "kg_embeddings_build": _q_kg_embeddings,
         "kg_rag_recall": _q_kg_rag_recall,
-        "doc_fingerprints": _q_doc_fingerprints,
-        "doc_bpe_tokens": _q_doc_bpe_tokens,
-        "ann_batch_topk": _q_ann_batch_topk,
         "media_image_features": _q_media_image_features,
         "doc_canonical_urls": _q_doc_canonical_urls,
     }
+
+
+def _build_lang_id_sql() -> str:
+    """DuckDB mirror of text.lang_id_col, generated from the SAME
+    stopword table so the two can never drift: per-lang score = (# word
+    occurrences in the lang's stopword set) / #words, argmax with
+    first-lang-wins ties (the Column form's strictly-greater loop), 'und'
+    at or below the 0.02 floor."""
+    from nous_spark.operators.text import _LANG_STOPWORDS
+
+    langs = sorted(_LANG_STOPWORDS)
+    score_cols = ",\n                     ".join(
+        "len(list_filter(words, w -> list_contains(["
+        + ", ".join(f"'{w}'" for w in sorted(_LANG_STOPWORDS[lang]))
+        + f"], w))) / nullif(len(words), 0) AS s_{lang}"
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    pick = " ".join(f"WHEN s_{lang} = _best THEN '{lang}'" for lang in langs)
+    return f"""
+        WITH wt AS (
+          SELECT lang,
+                 list_filter(
+                   regexp_split_to_array(
+                     regexp_replace(lower(text), '[^a-záàâãéêíóôõúüçñ]+', ' ', 'g'),
+                     ' '),
+                   w -> w != '') AS words
+          FROM documents
+        ),
+        scored AS (
+          SELECT lang, len(words) AS n_words,
+                     {score_cols}
+          FROM wt
+        ),
+        best AS (SELECT *, {best} AS _best FROM scored),
+        pred AS (
+          SELECT lang,
+                 CASE WHEN n_words > 0 AND _best > 0.02
+                      THEN CASE {pick} END
+                      ELSE 'und' END AS lang_pred
+          FROM best
+        )
+        SELECT lang, lang_pred, count(*) AS n_docs FROM pred
+        GROUP BY lang, lang_pred
+    """
+
+
+_LANG_ID_SQL = _build_lang_id_sql()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -878,5 +940,109 @@ def oracle_sql() -> dict[str, str]:
             SELECT entity_id, 0 AS depth FROM e0
             UNION ALL
             SELECT entity_id, 1 AS depth FROM d1
+        """,
+        # exact word-5-gram Jaccard all-pairs — parity with the LSH-blocked
+        # + exact-verified operator requires (and thereby proves) blocking
+        # recall 1 at >= 0.5 on this corpus
+        "doc_minhash_near_dups": r"""
+            WITH words AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+              FROM documents
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS g
+              FROM words, UNNEST(range(1, greatest(len(w)-4, 1)+1)) AS t(i)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ns
+              FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, round(ns / (sa.n + sb.n - ns), 4) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE round(ns / (sa.n + sb.n - ns), 4) >= 0.5
+        """,
+        # word-3-gram Jaccard with the stop-shingle df cap mirrored
+        "doc_ngram_jaccard": r"""
+            WITH words AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+              FROM documents
+            ),
+            sh0 AS (
+              SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
+              FROM words, UNNEST(range(1, greatest(len(w)-2, 1)+1)) AS t(i)
+            ),
+            rare AS (SELECT g FROM sh0 GROUP BY g HAVING count(*) <= 256),
+            sh AS (SELECT sh0.doc_id, sh0.g FROM sh0 JOIN rare USING (g)),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ns
+              FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, round(ns / (sa.n + sb.n - ns), 4) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE round(ns / (sa.n + sb.n - ns), 4) >= 0.3
+        """,
+        "doc_bpe_tokens": r"""
+            SELECT doc_id,
+                   CAST(list_sum(list_transform(
+                     regexp_extract_all(text, '\w+|[^\w\s]'),
+                     tok -> CAST(ceil(length(tok) / 6.0) AS BIGINT)
+                   )) AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "doc_lang_id_confusion": _LANG_ID_SQL,
+        "doc_fingerprints": r"""
+            WITH words AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                     list_transform(range(1, greatest(len(w)-3, 1)+1),
+                                    i -> md5(array_to_string(w[i:i+3], ' '))) AS g
+              FROM words
+            ),
+            mins AS (
+              SELECT doc_id,
+                     list_transform(range(1, greatest(len(g)-7, 1)+1),
+                                    j -> list_min(g[j:j+7])) AS m
+              FROM grams
+            )
+            SELECT doc_id,
+                   md5(array_to_string(list_sort(list_distinct(m))[1:16], ''))
+                     AS fingerprint
+            FROM mins
+        """,
+        "ann_batch_topk": """
+            WITH q AS (
+              SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id < 5
+            ),
+            scored AS (
+              SELECT q.q_id, e.vec_id,
+                     list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS s
+              FROM embeddings e, q
+            ),
+            ranked AS (
+              SELECT q_id, vec_id, s, row_number() OVER (
+                PARTITION BY q_id ORDER BY s DESC, vec_id ASC
+              ) AS rank
+              FROM scored
+            )
+            SELECT q_id, vec_id, round(s, 4) AS score, rank
+            FROM ranked WHERE rank <= 5
+        """,
+        "kg_embeddings_build": f"""
+            WITH edges AS ({EDGES_SQL})
+            SELECT DISTINCT src AS entity_id, dst AS fact_id, pred AS verb,
+                   64 AS dim
+            FROM edges WHERE edge_type = 'HAS_FACT'
         """,
     }

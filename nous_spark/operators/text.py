@@ -26,13 +26,31 @@ def token_count_col(text: Column) -> Column:
     return F.size(F.split(F.trim(text), r"\s+"))
 
 
-_BPEISH = re.compile(r"\w+|[^\w\s]")
+# ASCII classes: keeps the Python form byte-compatible with the JVM
+# (Java regex \w is ASCII by default) and DuckDB (RE2 \w is ASCII) —
+# accented letters tokenize as single non-word marks in all three.
+_BPEISH = re.compile(r"\w+|[^\w\s]", re.ASCII)
+
+
+def bpe_ish_token_count_col(text: Column) -> Column:
+    """BPE-ish token estimate as a pure Column expression (JVM, codegen,
+    oracle-checkable): tokens = \\w+ runs and single non-word non-space
+    marks; each token contributes ceil(len/6) subword units (the
+    standard ~4-6 chars/token heuristic). Same formula as the DuckDB
+    oracle's regexp_extract_all + list_transform."""
+    toks = F.regexp_extract_all(text, F.lit(r"\w+|[^\w\s]"), F.lit(0))
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.ceil(F.length(t) / 6),
+    )
 
 
 def bpe_ish_token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """A BPE-ish token estimate: word pieces + punctuation marks, with
     long words counted as ceil(len/6) subword units (the standard
-    ~4-6 chars/token heuristic). Arrow-batched."""
+    ~4-6 chars/token heuristic). Arrow-batched; same token rule as
+    ``bpe_ish_token_count_col`` (ASCII classes)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -178,6 +196,30 @@ def lang_id_col(text: Column) -> Column:
 
 
 # ------------------------------------------------------------- fingerprint
+def fingerprint_col(
+    text: Column, k: int = 4, window: int = 8, keep: int = 16
+) -> Column:
+    """Winnowing document fingerprint as a pure Column expression
+    (oracle-checkable): md5 each word-k-gram, take the rolling
+    ``window``-min (lexicographic on the hex strings — a valid total
+    order for winnowing), md5 the first ``keep`` distinct minima in
+    sorted order. Robust to local edits like the crc32 Python variant
+    (``fingerprint_text``), but shared verbatim with DuckDB (md5 + list
+    ops on both sides)."""
+    words = F.split(F.trim(text), r"\s+")
+    n = F.greatest(F.size(words) - (k - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(words, i + 1, k)).cast("binary")),
+    )
+    m = F.greatest(F.size(grams) - (window - 1), F.lit(1))
+    mins = F.transform(
+        F.sequence(F.lit(0), m - 1), lambda j: F.array_min(F.slice(grams, j + 1, window))
+    )
+    sel = F.slice(F.array_sort(F.array_distinct(mins)), 1, keep)
+    return F.md5(F.concat_ws("", sel).cast("binary"))
+
+
 def fingerprint_text(text: str | None, window: int = 8) -> int:
     """Winnowing-style document fingerprint: min rolling-window hash over
     word 4-gram crc32s — robust to local edits, deterministic."""
