@@ -142,6 +142,44 @@ def _q_totals_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_usage_cost_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7/G4: write-time DECIMAL(18,8) cost accounting (reference
+    pricing.py:16-40). Each event is modeled as one provider call with
+    deterministic token counts; cost = prompt_tokens*prompt_rate +
+    completion_tokens*completion_rate with Python-Decimal-exact
+    per-token rates (pricing.pricing_dim, broadcast) — no float in the
+    money path until the final display cast."""
+    from nous_spark.pricing import pricing_dim
+
+    ev = _t(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type").isin("purchase", "signup"), F.lit("extract"))
+        .when(F.col("event_type") == "view", F.lit("summarize"))
+        .otherwise(F.lit("embed"))
+    )
+    ev = (
+        ev.withColumn("operation", op)
+        .withColumn("prompt_tokens", F.col("event_id") % 900 + 100)
+        .withColumn("completion_tokens", F.col("event_id") % 400 + 50)
+    )
+    cost = (
+        F.col("prompt_tokens").cast("decimal(18,0)") * F.col("prompt_per_token")
+        + F.col("completion_tokens").cast("decimal(18,0)") * F.col("completion_per_token")
+    )
+    return (
+        ev.join(F.broadcast(pricing_dim(spark)), "operation")
+        .withColumn("cost_usd", cost.cast("decimal(18,8)"))
+        .groupBy("operation")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("prompt_tokens") + F.col("completion_tokens")).alias(
+                "total_tokens"
+            ),
+            F.round(F.sum("cost_usd").cast("double"), 6).alias("cost_usd"),
+        )
+    )
+
+
 def _q_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return (
@@ -583,6 +621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "usage_daily_rollup": _q_daily_rollup,
         "usage_top_event_types": _q_top_event_types,
         "usage_totals_coalesce": _q_totals_coalesce,
+        "usage_cost_rollup": _q_usage_cost_rollup,
         "usage_pagination": _q_pagination,
         "tpch_q1_pricing_summary": _q_tpch_q1,
         "tpch_q3_shipping_priority": _q_tpch_q3,
@@ -672,6 +711,40 @@ def _build_lang_id_sql() -> str:
 _LANG_ID_SQL = _build_lang_id_sql()
 
 
+def _build_usage_cost_sql() -> str:
+    """DuckDB mirror of usage_cost_rollup, rates generated from the SAME
+    pricing table (pricing.PRICING_PER_1M) so they cannot drift."""
+    from nous_spark.pricing import PRICING_PER_1M, per_token_rates
+
+    values = ",\n              ".join(
+        f"('{op}', {per_token_rates(op)[0]:.12f}::DECIMAL(18,12), "
+        f"{per_token_rates(op)[1]:.12f}::DECIMAL(18,12))"
+        for op in sorted(PRICING_PER_1M)
+    )
+    return f"""
+        WITH rates(operation, prompt_per_token, completion_per_token) AS (
+          VALUES {values}
+        ),
+        ev AS (
+          SELECT CASE WHEN event_type IN ('purchase', 'signup') THEN 'extract'
+                      WHEN event_type = 'view' THEN 'summarize'
+                      ELSE 'embed' END AS operation,
+                 event_id % 900 + 100 AS pt,
+                 event_id % 400 + 50 AS ct
+          FROM events
+        )
+        SELECT operation, count(*) AS n_events,
+               sum(pt + ct) AS total_tokens,
+               round(CAST(sum(
+                 CAST(CAST(pt AS DECIMAL(18,0)) * prompt_per_token
+                      + CAST(ct AS DECIMAL(18,0)) * completion_per_token
+                      AS DECIMAL(18,8))
+               ) AS DOUBLE), 6) AS cost_usd
+        FROM ev JOIN rates USING (operation)
+        GROUP BY operation
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     edges_cte = f"WITH edges AS ({EDGES_SQL})"
     return {
@@ -728,6 +801,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, event_type, round(value, 2) AS value_r
             FROM events ORDER BY ts DESC, event_id DESC LIMIT 20 OFFSET 10
         """,
+        "usage_cost_rollup": _build_usage_cost_sql(),
         "tpch_q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

@@ -25,7 +25,7 @@ import json
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nous_spark.extraction.html import extract_text_str
@@ -196,13 +196,24 @@ class Run:
         return read_table(self.spark, self.path(stage))
 
     def checkpoint(
-        self, stage: str, df: DataFrame, partition_by: list[str] | None = None
+        self,
+        stage: str,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        tokens_col: Column | None = None,
+        operation: str | None = None,
     ) -> DataFrame:
         """Materialize a stage: write the stage table once (io.py seam —
         parquet here, Iceberg on a cluster), mark done, read back.
 
         If the stage is already done (resume), the compute is skipped
         entirely and the stored result is returned — zero recompute.
+
+        ``tokens_col`` (a per-row token-count expression) piggybacks a
+        token sum on the same Observation, and ``operation`` prices it
+        at write time (pricing.py, F7/G4): the stage's metrics row then
+        carries (tokens, cost_usd DECIMAL(18,8)) like the reference's
+        token_usage_events ledger.
         """
         if self.done(stage):
             return self.read(stage)
@@ -212,17 +223,27 @@ class Run:
         from nous_spark.io import write_table
 
         path = self.path(stage)
-        # row count piggybacks on the write job via the Observation API —
-        # no separate count job per stage (driver-serial jobs are the
-        # scaling-efficiency tax at small corpus sizes).
+        # row count (+ token sum) piggybacks on the write job via the
+        # Observation API — no separate count job per stage (driver-serial
+        # jobs are the scaling-efficiency tax at small corpus sizes).
         obs = Observation(f"ckpt_{stage}")
+        metrics_exprs = [F.count(F.lit(1)).alias("rows")]
+        if tokens_col is not None:
+            metrics_exprs.append(F.sum(tokens_col).alias("tokens"))
         write_table(
-            df.observe(obs, F.count(F.lit(1)).alias("rows")),
+            df.observe(obs, *metrics_exprs),
             path,
             mode="overwrite",
             partition_by=partition_by,
         )
-        rows_out = int(obs.get["rows"])
+        got = obs.get
+        rows_out = int(got["rows"])
+        tokens = int(got["tokens"]) if tokens_col is not None and got.get("tokens") is not None else None
+        cost = None
+        if tokens is not None and operation is not None:
+            from nous_spark.pricing import cost_usd
+
+            cost = cost_usd(operation, tokens)
         out = self.read(stage)
         with self._lock:
             self.metrics.append(
@@ -232,6 +253,8 @@ class Run:
                     "partition_id": None,
                     "rows_in": None,
                     "rows_out": rows_out,
+                    "tokens": tokens,
+                    "cost_usd": cost,
                     "started_at": dt.datetime.fromtimestamp(t0, dt.timezone.utc),
                     "finished_at": dt.datetime.now(dt.timezone.utc),
                     "status": "ok",
@@ -299,7 +322,14 @@ def run_pipeline(
     queries prune to its partition directories."""
     run = Run(spark, out_dir, run_id)
 
-    docs = run.checkpoint("extract", stage_extract(pages))
+    # the extract stage is the pipeline's provider-call analog (G1):
+    # token-count its output text and price it into the metrics ledger
+    docs = run.checkpoint(
+        "extract",
+        stage_extract(pages),
+        tokens_col=F.size(F.split(F.col("text"), r"\s+")),
+        operation="extract",
+    )
     mentions = run.checkpoint("mentions", stage_mentions(docs))
     mapping = run.checkpoint(
         "canonical", stage_canonical(mentions, alias_dict, use_lsh=use_lsh)

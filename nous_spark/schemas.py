@@ -131,6 +131,9 @@ EMBEDDINGS = T.StructType(
 )
 
 # ------------------------------------------------------- lineage/metrics
+# tokens/cost_usd mirror token_usage_events (usage/models.py:46-54):
+# per-stage token counts and the write-time DECIMAL(18,8) cost
+# (pricing.py) — NULL for stages with no provider-call analog.
 METRICS = T.StructType(
     [
         T.StructField("run_id", T.StringType(), False),
@@ -138,6 +141,8 @@ METRICS = T.StructType(
         T.StructField("partition_id", T.IntegerType(), True),
         T.StructField("rows_in", T.LongType(), True),
         T.StructField("rows_out", T.LongType(), True),
+        T.StructField("tokens", T.LongType(), True),
+        T.StructField("cost_usd", T.DecimalType(18, 8), True),
         T.StructField("started_at", T.TimestampType(), True),
         T.StructField("finished_at", T.TimestampType(), True),
         T.StructField("status", T.StringType(), True),

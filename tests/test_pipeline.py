@@ -193,3 +193,24 @@ def test_lineage_and_metrics_idempotent_on_resume(spark, tmp_path):
     run_pipeline(spark, pages, out, run_id="lm")  # full resume, all skipped
     assert spark.read.parquet(f"{out}/lineage").count() == lineage1
     assert spark.read.parquet(f"{out}/metrics").count() == metrics1
+
+
+def test_metrics_token_cost_ledger(spark, tmp_path):
+    """The extract stage's metrics row carries (tokens, cost_usd) priced
+    at write time with the Decimal(18,8) contract (F7/G4)."""
+    from decimal import Decimal
+
+    from nous_spark.pricing import cost_usd
+
+    out = str(tmp_path / "costrun")
+    pages = generate_pages(spark, 40, seed=42)
+    run_pipeline(spark, pages, out, run_id="cost")
+    rows = {r["stage"]: r for r in spark.read.parquet(f"{out}/metrics").collect()}
+    ex = rows["extract"]
+    assert ex["tokens"] is not None and ex["tokens"] > 0
+    assert isinstance(ex["cost_usd"], Decimal)
+    assert ex["cost_usd"] == cost_usd("extract", ex["tokens"])
+    assert ex["cost_usd"] > 0
+    # stages with no provider-call analog stay NULL, not zero
+    assert rows["mentions"]["tokens"] is None
+    assert rows["mentions"]["cost_usd"] is None
