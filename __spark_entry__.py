@@ -458,6 +458,28 @@ def _q_kg_expand_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return expand_hops(edges, e0, hops=1)
 
 
+def _q_kg_entity_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5/F10: entity metadata as a real map<string,string> with a
+    to_json encode AND from_json decode in one plan (the reference's
+    Entity.metadata dict round trip, entity_model.py:26-31). The oracle
+    string-builds the identical JSON and reads the decoded field from
+    the raw column."""
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    meta = F.create_map(
+        F.lit("segment"), F.col("c_mktsegment"), F.lit("nation"), F.col("n_name")
+    )
+    mj = F.to_json(meta)
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select(
+            F.concat(F.lit("cust:"), F.col("c_custkey")).alias("entity_id"),
+            mj.alias("metadata_json"),
+            F.from_json(mj, "map<string,string>")["nation"].alias("nation_rt"),
+        )
+    )
+
+
 def _q_kg_salted_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D1 collect(DISTINCT ...) via the explicit two-phase SALTED collect
     (skew.py) — hot fact keys ('Segment:BUILDING' fans in from ~1/5 of
@@ -642,6 +664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup_exact": _q_emb_near_dup_exact,
         "kg_salted_collect": _q_kg_salted_collect,
         "kg_expand_hops": _q_kg_expand_hops,
+        "kg_entity_metadata": _q_kg_entity_metadata,
         "doc_quality_filter": _q_doc_quality_filter,
         "doc_minhash_near_dups": _q_minhash_near_dups,
         "doc_ngram_jaccard": _q_ngram_jaccard,
@@ -1014,6 +1037,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT entity_id, 0 AS depth FROM e0
             UNION ALL
             SELECT entity_id, 1 AS depth FROM d1
+        """,
+        "kg_entity_metadata": """
+            SELECT 'cust:' || c_custkey AS entity_id,
+                   '{"segment":"' || c_mktsegment || '","nation":"' || n_name
+                     || '"}' AS metadata_json,
+                   n_name AS nation_rt
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
         """,
         # exact word-5-gram Jaccard all-pairs — parity with the LSH-blocked
         # + exact-verified operator requires (and thereby proves) blocking

@@ -50,10 +50,28 @@ def build_graph_tables(
     fan-in) over n_salts reducers before the final per-key merge.
     Results are identical either way — the salt affects placement only.
     """
+    # entity metadata (F5/F10 — the reference's Entity.metadata
+    # dict[str,str], entity_model.py:26-31): populated from deterministic
+    # per-entity aggregates (min => stable across runs/parallelism).
+    # Stored as a real map<string,string>; the to_json/from_json round
+    # trip is exercised by the kg_entity_metadata oracle query.
     nodes = (
         linked_mentions.groupBy("entity_id")
-        .agg(F.min("warc_ts").alias("created_at"))
-        .withColumn("metadata", F.lit(None).cast("map<string,string>"))
+        .agg(
+            F.min("warc_ts").alias("created_at"),
+            F.min("url").alias("_first_url"),
+            F.min(F.when(F.col("mention_rank") == 0, F.col("id_type"))).alias("_ptype"),
+        )
+        .withColumn(
+            "metadata",
+            F.create_map(
+                F.lit("first_seen_url"),
+                F.col("_first_url"),
+                F.lit("primary_id_type"),
+                F.coalesce(F.col("_ptype"), F.lit("unknown")),
+            ),
+        )
+        .select("entity_id", "created_at", "metadata")
     )
 
     identifiers = linked_mentions.select(
@@ -373,11 +391,17 @@ def recanonicalize_graph(
         edges.filter(F.col("edge_type") == DERIVED_FROM)
     )
 
+    # metadata survives the merge deterministically: maps have no min, so
+    # merge on min(to_json) and decode back (F5 round trip)
     new_nodes = (
         remap(tables["nodes"], "entity_id")
         .groupBy("entity_id")
-        .agg(F.min("created_at").alias("created_at"))
-        .withColumn("metadata", F.lit(None).cast("map<string,string>"))
+        .agg(
+            F.min("created_at").alias("created_at"),
+            F.min(F.to_json("metadata")).alias("_mj"),
+        )
+        .withColumn("metadata", F.from_json("_mj", "map<string,string>"))
+        .select("entity_id", "created_at", "metadata")
     )
     return {**tables, "edges": new_edges, "nodes": new_nodes}
 

@@ -195,6 +195,26 @@ def test_lineage_and_metrics_idempotent_on_resume(spark, tmp_path):
     assert spark.read.parquet(f"{out}/metrics").count() == metrics1
 
 
+def test_nodes_metadata_populated(spark, tmp_path):
+    """nodes.metadata carries deterministic per-entity facts (F5/F10):
+    first_seen_url = min url, primary_id_type from the rank-0 mention —
+    and survives recanonicalization via the to_json/from_json merge."""
+    from nous_spark.graph import recanonicalize_graph
+
+    out = str(tmp_path / "metarun")
+    pages = generate_pages(spark, 50, seed=42)
+    tables = run_pipeline(spark, pages, out, run_id="meta")
+    nodes = tables["nodes"].collect()
+    assert nodes and all(r["metadata"] is not None for r in nodes)
+    assert all("first_seen_url" in r["metadata"] for r in nodes)
+    assert all(r["metadata"]["primary_id_type"] in
+               ("email", "phone", "username", "uuid", "social_id", "unknown")
+               for r in nodes)
+    compacted = recanonicalize_graph(tables)
+    cn = compacted["nodes"].collect()
+    assert all(r["metadata"] is not None and "first_seen_url" in r["metadata"] for r in cn)
+
+
 def test_metrics_token_cost_ledger(spark, tmp_path):
     """The extract stage's metrics row carries (tokens, cost_usd) priced
     at write time with the Decimal(18,8) contract (F7/G4)."""
