@@ -412,6 +412,17 @@ def _q_kg_entity_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summarize_entities(edges, tpch_facts(spark, sf_dir))
 
 
+def _q_kg_summary_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 with the lookup route's ``lang`` parameter
+    (routes/lookup.py:147,163-172): Portuguese templates for prefix and
+    confidence qualifiers; clause content (verb/type/name) unchanged."""
+    edges = tpch_edges(spark, sf_dir).withColumn(
+        "confidence",
+        F.when(F.col("pred") == "lives_in", 0.8).otherwise(F.col("confidence")),
+    )
+    return summarize_entities(edges, tpch_facts(spark, sf_dir), lang="pt-br")
+
+
 def _q_emb_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dups_exact(_t(spark, sf_dir, "embeddings"), threshold=0.4)
 
@@ -661,6 +672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_neighborhood_lookup": _q_kg_neighborhood,
         "kg_primary_identifier": _q_kg_primary_identifier,
         "kg_entity_summary": _q_kg_entity_summary,
+        "kg_summary_lang": _q_kg_summary_lang,
         "emb_near_dup_exact": _q_emb_near_dup_exact,
         "kg_salted_collect": _q_kg_salted_collect,
         "kg_expand_hops": _q_kg_expand_hops,
@@ -975,6 +987,28 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT entity_id, count(*) AS n_facts,
                    'The entity ' || string_agg(
+                     clause, '; '
+                     ORDER BY pred, fact_id, clause
+                   ) || '.' AS summary
+            FROM clauses GROUP BY entity_id
+        """,
+        "kg_summary_lang": f"""
+            WITH edges AS ({EDGES_SQL}), facts AS ({FACTS_SQL}),
+            hf AS (
+              SELECT src AS entity_id, dst AS fact_id, pred,
+                     CASE WHEN pred = 'lives_in' THEN 0.8 ELSE confidence END AS confidence
+              FROM edges WHERE edge_type = 'HAS_FACT'
+            ),
+            clauses AS (
+              SELECT entity_id, pred, hf.fact_id,
+                     CASE WHEN confidence >= 0.9 THEN ''
+                          WHEN confidence >= 0.7 THEN 'provavelmente '
+                          ELSE 'possivelmente ' END
+                       || pred || ' ' || fact_type || ': ' || name AS clause
+              FROM hf JOIN facts ON facts.fact_id = hf.fact_id
+            )
+            SELECT entity_id, count(*) AS n_facts,
+                   'A entidade ' || string_agg(
                      clause, '; '
                      ORDER BY pred, fact_id, clause
                    ) || '.' AS summary

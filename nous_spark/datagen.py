@@ -35,7 +35,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from nous_spark.golden import GOLDEN
+from nous_spark.golden import GOLDEN_INLINE as GOLDEN
 from nous_spark.schemas import PAGES
 
 EXPECTED_SCHEMA = T.StructType(

@@ -228,6 +228,17 @@ _PATTERNS: list[tuple[re.Pattern, object]] = [
 ]
 
 
+def with_history(history: str | None, text: str | None) -> str:
+    """Prepend conversation history to the extraction input — the batch
+    analog of the reference's history section in the extractor prompt
+    (langchain_fact_extractor.py:129-152: prior turns joined by newlines
+    before the content). Document order = conversation order, so the
+    first identifier mention (the established subject) still anchors the
+    page and facts from any turn attach to it."""
+    t = text or ""
+    return f"{history}\n{t}" if history else t
+
+
 def extract_triples_text(text: str | None) -> list[tuple[str, str, str, float]]:
     """Pure scalar extraction: text -> list of (pred, fact_type, fact_name, conf).
 

@@ -127,7 +127,27 @@ GOLDEN: list[dict] = [
         "text": "I work as a software engineer now.",
         "expected": [("works_as", "Profession:Software Engineer")],
     },
+    {
+        "gid": "g11",  # real two-turn history context (usecase test :184-213:
+        # history=["Hello, I'm John...", "I moved to Paris last year."],
+        # content="I work as a software engineer now." — the extractor
+        # prompt prepends the history section, langchain_fact_extractor.py:129-152)
+        "id_type": "email",
+        "id_value": "test.user@example.com",
+        "lang": "en",
+        "history": "Hello, I'm John and I'm 25 years old.\nI moved to Paris last year.",
+        "text": "I work as a software engineer now.",
+        "expected": [
+            ("moved_to", "Location:Paris"),
+            ("works_as", "Profession:Software Engineer"),
+        ],
+    },
 ]
+
+# cases whose text alone is self-contained (no separate history column) —
+# what datagen inlines into synthetic pages; MUST keep the same length/
+# order as round-1 GOLDEN so seeded corpora stay byte-identical
+GOLDEN_INLINE: list[dict] = [g for g in GOLDEN if "history" not in g]
 
 
 def expected_matches(pred: str, obj: str, exp_pred: str, exp_obj: str) -> bool:

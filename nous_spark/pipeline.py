@@ -56,10 +56,21 @@ def stage_extract(pages: DataFrame) -> DataFrame:
     inflation at local[32] from worker fork+import costs alone). One
     fused pass means one worker per task and one Arrow round trip: the
     html bytes never cross the JVM<->Python boundary more than once.
+
+    An optional ``history`` column (prior conversation turns, joined by
+    newlines) extends the PAGES contract: when present it is prepended
+    to the extraction scan — the batch analog of the reference's history
+    section in the extractor prompt (AssimilateKnowledgeRequest.history,
+    dtos/knowledge_dto.py:76-80 -> langchain_fact_extractor.py:129-152)
+    — while the emitted ``text`` stays the page's OWN extracted text
+    (the byte-identity-per-url contract is unchanged).
     """
+    has_history = "history" in pages.columns
 
     def gen(batches):
         import pandas as pd
+
+        from nous_spark.extraction.triples import with_history
 
         for pdf in batches:
             # the PAGES contract allows html-less rows carrying text
@@ -70,16 +81,20 @@ def stage_extract(pages: DataFrame) -> DataFrame:
                 extract_text_str(h) if h is not None else (t or "")
                 for h, t in zip(pdf["html"], pdf["text"])
             ]
+            if "history" in pdf.columns:
+                scans = [with_history(h, t) for h, t in zip(pdf["history"], texts)]
+            else:
+                scans = texts
             mentions = [
                 [{"id_type": a, "id_value": b} for (a, b) in extract_mentions_text(t)]
-                for t in texts
+                for t in scans
             ]
             triples = [
                 [
                     {"pred": p, "fact_type": ft, "fact_name": fn, "confidence": c}
                     for (p, ft, fn, c) in extract_triples_text(t)
                 ]
-                for t in texts
+                for t in scans
             ]
             yield pd.DataFrame(
                 {
@@ -92,9 +107,10 @@ def stage_extract(pages: DataFrame) -> DataFrame:
                 }
             )
 
-    return pages.select("url", "warc_ts", "lang", "html", "text").mapInPandas(
-        gen, DOCS_SCHEMA
+    cols = ["url", "warc_ts", "lang", "html", "text"] + (
+        ["history"] if has_history else []
     )
+    return pages.select(*cols).mapInPandas(gen, DOCS_SCHEMA)
 
 
 def stage_mentions(docs: DataFrame) -> DataFrame:

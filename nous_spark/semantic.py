@@ -297,12 +297,43 @@ def remove_entity_vectors(
 # ---------------------------------------------------------------------------
 NO_FACTS_SUMMARY = "This entity has no recorded facts in the knowledge graph."
 
+# per-language G3 templates — the reference's lookup summary accepts a
+# ``lang`` code and instructs the summarizer to answer in it
+# (routes/lookup.py:147,163-172 -> get_entity_summary usecase); the
+# template analog is a per-lang qualifier/prefix table. Unknown codes
+# fall back to English (the reference's default).
+SUMMARY_TEMPLATES: dict[str, dict[str, str]] = {
+    "en": {
+        "prefix": "The entity ",
+        "likely": "likely ",
+        "possibly": "possibly ",
+        "empty": NO_FACTS_SUMMARY,
+    },
+    "pt": {
+        "prefix": "A entidade ",
+        "likely": "provavelmente ",
+        "possibly": "possivelmente ",
+        "empty": "Esta entidade não possui fatos registrados no grafo de conhecimento.",
+    },
+    "es": {
+        "prefix": "La entidad ",
+        "likely": "probablemente ",
+        "possibly": "posiblemente ",
+        "empty": "Esta entidad no tiene hechos registrados en el grafo de conocimiento.",
+    },
+}
+
+
+def _templates(lang: str | None) -> dict[str, str]:
+    return SUMMARY_TEMPLATES.get((lang or "en").split("-")[0].lower(), SUMMARY_TEMPLATES["en"])
+
 
 def summarize_entities(
     edges: DataFrame,
     facts: DataFrame,
     max_facts: int | None = None,
     n_salts: int = 16,
+    lang: str | None = None,
 ) -> DataFrame:
     """Per-entity natural-language summary (template-based G3 analog).
 
@@ -327,6 +358,7 @@ def summarize_entities(
 
     Returns (entity_id, n_facts, summary).
     """
+    tpl = _templates(lang)
     hf = edges.filter(F.col("edge_type") == HAS_FACT).select(
         F.col("src").alias("entity_id"),
         F.col("dst").alias("fact_id"),
@@ -335,8 +367,8 @@ def summarize_entities(
     )
     qualifier = (
         F.when(F.col("confidence") >= 0.9, F.lit(""))
-        .when(F.col("confidence") >= 0.7, F.lit("likely "))
-        .otherwise(F.lit("possibly "))
+        .when(F.col("confidence") >= 0.7, F.lit(tpl["likely"]))
+        .otherwise(F.lit(tpl["possibly"]))
     )
     clause = F.concat(
         qualifier,
@@ -358,7 +390,7 @@ def summarize_entities(
 
     def render(clause_arr):
         return F.concat(
-            F.lit("The entity "),
+            F.lit(tpl["prefix"]),
             F.concat_ws("; ", F.transform(clause_arr, lambda x: x["c"])),
             F.lit("."),
         )
@@ -391,13 +423,19 @@ def summarize_entities(
 
 
 def entity_summary(
-    edges: DataFrame, facts: DataFrame, id_type: str, id_value: str
+    edges: DataFrame,
+    facts: DataFrame,
+    id_type: str,
+    id_value: str,
+    lang: str | None = None,
 ) -> str:
-    """Single-entity summary with the zero-fact fast path."""
+    """Single-entity summary with the zero-fact fast path; ``lang``
+    selects the template language (routes/lookup.py:147)."""
+    tpl = _templates(lang)
     ent = find_entity_by_identifier(edges, id_type, id_value)
     row = (
-        ent.join(summarize_entities(edges, facts), "entity_id", "left")
-        .select(F.coalesce(F.col("summary"), F.lit(NO_FACTS_SUMMARY)).alias("summary"))
+        ent.join(summarize_entities(edges, facts, lang=lang), "entity_id", "left")
+        .select(F.coalesce(F.col("summary"), F.lit(tpl["empty"])).alias("summary"))
         .first()
     )
-    return NO_FACTS_SUMMARY if row is None else row["summary"]
+    return tpl["empty"] if row is None else row["summary"]

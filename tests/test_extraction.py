@@ -11,14 +11,16 @@ import pytest
 from nous_spark.datagen import gen_row
 from nous_spark.extraction.html import extract_text_str
 from nous_spark.extraction.mentions import extract_mentions_text
-from nous_spark.extraction.triples import extract_triples_text
+from nous_spark.extraction.triples import extract_triples_text, with_history
 from nous_spark.golden import GOLDEN, score_pr
 from nous_spark.normalize import fact_id
 
 
 @pytest.mark.parametrize("g", GOLDEN, ids=[g["gid"] for g in GOLDEN])
 def test_golden_case(g):
-    trips = extract_triples_text(g["text"])
+    # history cases (g11): prior turns are prepended to the scan, exactly
+    # as stage_extract does with the optional pages.history column
+    trips = extract_triples_text(with_history(g.get("history"), g["text"]))
     subj = f"{g['id_type']}:{g['id_value']}"
     emitted = [(subj, p, fact_id(t, n)) for (p, t, n, c) in trips]
     expected = [(subj, pa, oa) for (pa, oa) in g["expected"]]
@@ -29,7 +31,9 @@ def test_golden_case(g):
 @pytest.mark.parametrize("g", GOLDEN, ids=[g["gid"] for g in GOLDEN])
 def test_structural_invariants(g):
     # reference test :58-73 — non-empty name/type/verb, confidence in [0,1]
-    for pred, ftype, name, conf in extract_triples_text(g["text"]):
+    for pred, ftype, name, conf in extract_triples_text(
+        with_history(g.get("history"), g["text"])
+    ):
         assert pred and pred == pred.strip().lower()
         assert ftype and ftype == ftype.strip()
         assert name and name == name.strip()

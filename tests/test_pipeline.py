@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from nous_spark.datagen import generate_expected, generate_pages
 from nous_spark.graph import entity_neighborhood
-from nous_spark.pipeline import run_pipeline
+from nous_spark.pipeline import run_pipeline, stage_extract
 
 N_PAGES = 600
 
@@ -193,6 +193,38 @@ def test_lineage_and_metrics_idempotent_on_resume(spark, tmp_path):
     run_pipeline(spark, pages, out, run_id="lm")  # full resume, all skipped
     assert spark.read.parquet(f"{out}/lineage").count() == lineage1
     assert spark.read.parquet(f"{out}/metrics").count() == metrics1
+
+
+def test_history_column_feeds_extraction(spark, tmp_path):
+    """A pages.history column (prior conversation turns) extends the
+    extraction scan: facts from history AND the current text attach to
+    the subject established in history, while the emitted text stays the
+    page's own content (byte-identity contract)."""
+    import datetime as dt
+
+    ts = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    history = (
+        "Identity: email:test.user@example.com\n"
+        "I moved to Paris last year."
+    )
+    rows = [("https://x.test/1", ts, None, "I work as a software engineer now.", "en", history)]
+    pages = spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, text string, lang string, history string",
+    )
+    doc = stage_extract(pages).collect()[0]
+    assert doc["text"] == "I work as a software engineer now."  # page text untouched
+    assert [(m["id_type"], m["id_value"]) for m in doc["mentions"]] == [
+        ("email", "test.user@example.com")
+    ]
+    preds = {t["pred"] for t in doc["triples"]}
+    assert {"moved_to", "works_as"} <= preds
+
+    out = str(tmp_path / "histrun")
+    tables = run_pipeline(spark, pages, out, run_id="hist")
+    hf = tables["edges"].filter("edge_type = 'HAS_FACT'").collect()
+    assert {r["dst"] for r in hf} >= {"Location:Paris", "Profession:Software Engineer"}
+    assert len({r["src"] for r in hf}) == 1  # both facts on the history subject
 
 
 def test_nodes_metadata_populated(spark, tmp_path):

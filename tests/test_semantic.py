@@ -193,6 +193,30 @@ def test_summary_possibly_qualifier(spark, graph):
     assert "possibly enjoys Hobby: Hiking" in s
 
 
+def test_summary_lang_templates(spark, graph):
+    """routes/lookup.py:147 lang parameter: pt/es templates for prefix +
+    qualifiers; unknown codes fall back to English; the zero-fact string
+    is localized too."""
+    from nous_spark.semantic import entity_summary
+
+    edges, facts = graph
+    pt = {r["entity_id"]: r for r in summarize_entities(edges, facts, lang="pt-br").collect()}
+    a = pt["eA"]["summary"]
+    assert a.startswith("A entidade ")
+    assert "provavelmente works_at Company: Google" in a  # 0.8 -> likely(pt)
+    es = summarize_entities(edges, facts, lang="es").collect()[0]["summary"]
+    assert es.startswith("La entidad ")
+    fallback = {r["entity_id"]: r["summary"] for r in summarize_entities(edges, facts, lang="xx").collect()}
+    assert fallback["eA"].startswith("The entity ")
+    # zero-fact fast path localized
+    lonely = spark.createDataFrame(
+        [("eZ", "HAS_IDENTIFIER", "email:z@x.com", None, None, True, TS)],
+        EDGE_SCHEMA,
+    )
+    s = entity_summary(lonely, facts, "email", "z@x.com", lang="pt")
+    assert s.startswith("Esta entidade")
+
+
 def test_summary_zero_fact_fast_path(spark, graph):
     _, facts = graph
     edges = spark.createDataFrame(
