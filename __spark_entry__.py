@@ -540,9 +540,10 @@ def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN with multiprobe (4 lowest-margin flip buckets)."""
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-    return lsh_ann_topk(emb, [float(x) for x in qvec], k=10, n_planes=8)
+    return lsh_ann_topk(emb, [float(x) for x in qvec], k=10, n_planes=8, n_probes=4)
 
 
 def _q_emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -639,7 +640,7 @@ def _q_kg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = stage_extract(pages)
     mentions = stage_mentions(docs)
     mapping = mentions.select(
-        F.col("anchor_id"), F.col("anchor_id").alias("entity_id")
+        "anchor_id", "entity_key", F.col("anchor_id").alias("entity_id")
     ).dropDuplicates(["anchor_id"])
     linked = stage_link(docs, mentions, mapping)
     return linked.select("entity_id", "pred", "fact_id", "confidence", "source_url")
@@ -769,7 +770,7 @@ def _build_usage_cost_sql() -> str:
           FROM events
         )
         SELECT operation, count(*) AS n_events,
-               sum(pt + ct) AS total_tokens,
+               CAST(sum(pt + ct) AS BIGINT) AS total_tokens,
                round(CAST(sum(
                  CAST(CAST(pt AS DECIMAL(18,0)) * prompt_per_token
                       + CAST(ct AS DECIMAL(18,0)) * completion_per_token

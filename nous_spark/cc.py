@@ -110,12 +110,14 @@ def connected_components(
     assert the agreement.
 
     The driver shortcut is gated in BYTES, not just edge count: the
-    collect builds ~2 Python strings + a tuple + ~2 union-find dict
-    entries per edge, so a near-threshold graph of wide ids can be
-    multiple GB of driver heap. Estimated driver bytes =
-    n_edges * (2*avg(len(src)+len(dst)) + 400) must stay under
-    ``driver_max_bytes`` (default ``NOUS_CC_DRIVER_MAX_BYTES`` or 2 GiB)
-    or the distributed path runs instead.
+    union-find builds ~2 Python strings + a tuple + ~2 dict entries per
+    edge, so a near-threshold graph of wide ids can be multiple GB of
+    driver heap. Estimated bytes = n_edges * (2*avg_width + 400) must
+    stay under ``driver_max_bytes`` (default ``NOUS_CC_DRIVER_MAX_BYTES``
+    or 2 GiB) or the distributed path runs instead. The row bound and
+    the strategy decision share ONE limit(threshold+1) collect job —
+    no separate count/stats job (serial job count is the pipeline's
+    non-scaling term at small corpus sizes).
     """
     if driver_max_bytes is None:
         import os
@@ -123,32 +125,41 @@ def connected_components(
         driver_max_bytes = int(
             os.environ.get("NOUS_CC_DRIVER_MAX_BYTES", str(2 * 1024**3))
         )
-    # persist: the symmetrized alias-edge plan (upstream: co-occurrence
-    # self-join, optional LSH scoring UDFs) is consumed by up to three
-    # actions (stats, collect / the iteration below) — without this each
-    # action recomputes the whole linking lineage
-    e = _symmetrize(edges).persist()
-    stats = e.agg(
-        F.count("*").alias("n"),
-        F.avg(F.length("src") + F.length("dst")).alias("w"),
-    ).collect()[0]
-    n_edges = stats["n"]
-    if n_edges == 0:
-        e.unpersist()
-        spark = edges.sparkSession
-        return spark.createDataFrame([], "id string, component string")
-    est_driver_bytes = int(n_edges * (2 * float(stats["w"] or 0.0) + 400))
+    spark = edges.sparkSession
+    if driver_threshold:
+        # ONE job decides the strategy AND feeds the driver path —
+        # straight off the RAW edge list: union-find is inherently
+        # undirected and dedup-tolerant, so the symmetrize/distinct
+        # shuffles the distributed loop needs are skipped entirely here.
+        # limit(threshold+1) bounds the collected rows; the byte guard is
+        # applied to the rows just collected (the dict-building phase of
+        # union-find, ~2 entries + 2 strings per edge, is the real heap
+        # cost and is still ahead at this point).
+        head = (
+            edges.filter(F.col("src") != F.col("dst"))
+            .limit(driver_threshold + 1)
+            .collect()
+        )
+        if not head:
+            return spark.createDataFrame([], "id string, component string")
+        if len(head) <= driver_threshold:
+            sample = head[: 20_000]
+            avg_w = sum(len(r[0]) + len(r[1]) for r in sample) / len(sample)
+            est_driver_bytes = int(len(head) * (2 * avg_w + 400))
+            if est_driver_bytes <= driver_max_bytes:
+                pairs = [(r[0], r[1]) for r in head]
+                mapping = _union_find_local(pairs)
+                return spark.createDataFrame(mapping, "id string, component string")
+        del head  # too big for the driver — fall through to distributed
 
-    if (
-        driver_threshold
-        and n_edges <= driver_threshold
-        and est_driver_bytes <= driver_max_bytes
-    ):
-        spark = edges.sparkSession
-        pairs = [(r[0], r[1]) for r in e.collect()]
+    # persist: the symmetrized alias-edge plan (upstream: co-occurrence
+    # derivation, optional LSH scoring UDFs) is consumed by every loop
+    # iteration's first action — without this each action recomputes the
+    # whole linking lineage
+    e = _symmetrize(edges).persist()
+    if not driver_threshold and e.isEmpty():
         e.unpersist()
-        mapping = _union_find_local(pairs)
-        return spark.createDataFrame(mapping, "id string, component string")
+        return spark.createDataFrame([], "id string, component string")
 
     e0 = e  # unpersist the input cache once the loop owns checkpointed copies
     prev_sig = None

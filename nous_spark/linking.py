@@ -53,6 +53,11 @@ def cooccurrence_alias_edges(mentions_with_anchor: DataFrame) -> DataFrame:
     The subject (first mention) is paired with every other mention of the
     page. Pages with a single mention emit nothing. Returns (src, dst)
     anchor-id pairs, deduped.
+
+    This form takes the EXPLODED mentions table and must re-group by url
+    (a full-table shuffle join). When the array-form docs table is at
+    hand, prefer ``cooccurrence_alias_edges_from_arrays`` — identical
+    output, zero shuffle before the final pair dedup.
     """
     first = mentions_with_anchor.filter(F.col("mention_rank") == 0).select(
         "url", F.col("anchor_id").alias("src")
@@ -65,6 +70,43 @@ def cooccurrence_alias_edges(mentions_with_anchor: DataFrame) -> DataFrame:
         .select("src", "dst")
         .filter(F.col("src") != F.col("dst"))
         .dropDuplicates(["src", "dst"])
+    )
+
+
+def cooccurrence_alias_edges_from_arrays(docs: DataFrame) -> DataFrame:
+    """Same alias evidence, derived MAP-SIDE from the per-page mentions
+    array (docs.mentions: array<struct<id_type,id_value>>).
+
+    A page is already the grouping unit of its own mention list, so
+    pairing the subject (element 1) with every other mention needs no
+    shuffle at all — the exploded-table twin re-joins the whole mentions
+    table on url, which at web scale shuffles the full corpus twice to
+    recover information the array row already held. The only shuffle
+    here is the final distinct over emitted key pairs (bounded by the
+    number of alias assertions, not corpus size); the uuid5 anchor UDF
+    runs on the deduped pairs only. Output contract identical to
+    ``cooccurrence_alias_edges`` (tested equal).
+    """
+    keys = F.transform(
+        "mentions", lambda m: F.concat_ws(":", m["id_type"], m["id_value"])
+    )
+    pair_structs = F.transform(
+        F.slice(keys, 2, F.greatest(F.size("mentions") - 1, F.lit(0))),
+        lambda k: F.struct(
+            F.element_at(keys, 1).alias("src_key"), k.alias("dst_key")
+        ),
+    )
+    pairs = (
+        docs.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.src_key").alias("src_key"), F.col("p.dst_key").alias("dst_key"))
+        .filter(F.col("src_key") != F.col("dst_key"))
+        .dropDuplicates(["src_key", "dst_key"])
+    )
+    # no second dedup after minting: uuid5 is a pure function of the key,
+    # so distinct key pairs are already distinct anchor pairs
+    return pairs.select(
+        anchor_id_udf(F.col("src_key")).alias("src"),
+        anchor_id_udf(F.col("dst_key")).alias("dst"),
     )
 
 
@@ -231,11 +273,14 @@ def canonical_mapping(
     alias_dict: DataFrame | None = None,
     use_lsh: bool = False,
     lsh_threshold: float = 0.85,
+    cooccur_edges: DataFrame | None = None,
 ) -> DataFrame:
     """Build the anchor_id -> canonical entity_id mapping.
 
     Alias evidence, unioned into one edge list for CC:
-      * co-occurrence on a page (always);
+      * co-occurrence on a page (always; pass ``cooccur_edges`` from
+        ``cooccurrence_alias_edges_from_arrays(docs)`` to use the
+        shuffle-free array derivation — the pipeline does);
       * a curated alias dictionary (optional, small — broadcast);
       * MinHash-LSH near-identical identifier values (optional,
         ``use_lsh`` — the web-scale fuzzy-alias path).
@@ -244,7 +289,11 @@ def canonical_mapping(
     themselves — the mapping is TOTAL over observed anchors, so the
     downstream join is a plain inner equi-join.
     """
-    edges = cooccurrence_alias_edges(mentions_with_anchor)
+    edges = (
+        cooccur_edges
+        if cooccur_edges is not None
+        else cooccurrence_alias_edges(mentions_with_anchor)
+    )
     if alias_dict is not None:
         pairs = alias_dict.select(
             anchor_id_udf(F.col("entity_key_a")).alias("src"),
@@ -258,11 +307,18 @@ def canonical_mapping(
         edges = edges.unionByName(fuzzy).dropDuplicates(["src", "dst"])
 
     comp = connected_components(edges)  # (id, component) — component = min id
-    anchors = mentions_with_anchor.select("anchor_id").dropDuplicates(["anchor_id"])
+    # entity_key rides along (1:1 with anchor_id by uuid5 construction):
+    # downstream joins can then equi-join on the PLAIN key, JVM-side,
+    # instead of re-minting uuid5 anchors through a Python UDF pass
+    # (pipeline.stage_link does — one less PythonRunner per run).
+    anchors = mentions_with_anchor.select("anchor_id", "entity_key").dropDuplicates(
+        ["anchor_id"]
+    )
     return (
         anchors.join(comp, anchors.anchor_id == comp.id, "left")
         .select(
             "anchor_id",
+            "entity_key",
             F.coalesce(comp.component, anchors.anchor_id).alias("entity_id"),
         )
     )

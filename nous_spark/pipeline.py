@@ -125,31 +125,64 @@ def stage_canonical(
     alias_dict: DataFrame | None = None,
     use_lsh: bool = False,
     lsh_threshold: float = 0.85,
+    docs: DataFrame | None = None,
 ) -> DataFrame:
+    """``docs`` (the array-form extract output) enables the shuffle-free
+    co-occurrence derivation (linking.cooccurrence_alias_edges_from_arrays)
+    — the exploded-table fallback re-joins mentions on url."""
+    cooccur = None
+    if docs is not None:
+        from nous_spark.linking import cooccurrence_alias_edges_from_arrays
+
+        cooccur = cooccurrence_alias_edges_from_arrays(docs)
     return canonical_mapping(
-        mentions, alias_dict, use_lsh=use_lsh, lsh_threshold=lsh_threshold
+        mentions,
+        alias_dict,
+        use_lsh=use_lsh,
+        lsh_threshold=lsh_threshold,
+        cooccur_edges=cooccur,
     )
 
 
 def stage_link(docs: DataFrame, mentions: DataFrame, mapping: DataFrame) -> DataFrame:
-    """Attach each page's triples to its subject's canonical entity id."""
-    subjects = (
-        mentions.filter(F.col("mention_rank") == 0)
-        .join(mapping, "anchor_id")
-        .select("url", "entity_id")
-    )
-    exploded = docs.select(
-        "url", "warc_ts", F.explode("triples").alias("t")
-    ).select(
-        "url",
-        "warc_ts",
-        F.col("t.pred").alias("pred"),
-        F.col("t.fact_type").alias("fact_type"),
-        F.col("t.fact_name").alias("fact_name"),
-        F.col("t.confidence").alias("confidence"),
+    """Attach each page's triples to its subject's canonical entity id.
+
+    The subject is the page's FIRST mention — already the first element
+    of the docs row's mentions array, so its entity key is built
+    MAP-SIDE (a JVM concat per page, before the triple explode) instead
+    of re-joining the exploded mentions table on url. The only join left
+    is exploded-triples x mapping on entity_key (the mapping carries the
+    plain key alongside its uuid5 anchor, linking.canonical_mapping —
+    no Python UDF pass here at all): ``mapping`` has one row per
+    distinct identity (<< one per page), so AQE broadcasts it at bench
+    scale, and at web scale this is the unavoidable identity-resolution
+    shuffle — strictly cheaper than the url self-join it replaces, which
+    shuffled the full per-page corpus a second time. ``mentions`` stays
+    in the signature for API stability (the exploded table still feeds
+    canonical/materialize).
+    """
+    first = F.element_at("mentions", 1)
+    first_key = F.concat_ws(":", first["id_type"], first["id_value"])
+    exploded = (
+        docs.filter(F.size("mentions") > 0)
+        .select(
+            "url",
+            "warc_ts",
+            first_key.alias("entity_key"),
+            F.explode("triples").alias("t"),
+        )
+        .select(
+            "url",
+            "warc_ts",
+            "entity_key",
+            F.col("t.pred").alias("pred"),
+            F.col("t.fact_type").alias("fact_type"),
+            F.col("t.fact_name").alias("fact_name"),
+            F.col("t.confidence").alias("confidence"),
+        )
     )
     return (
-        exploded.join(subjects, "url")  # url is unique per page — skew-free equi-join
+        exploded.join(mapping.select("entity_key", "entity_id"), "entity_key")
         .withColumn("fact_id", fact_id_col(F.col("fact_type"), F.col("fact_name")))
         .select(
             "entity_id",
@@ -303,20 +336,49 @@ class Run:
         Per-run_id overwrite + merge with previously recorded stages: a
         resume run (which skips stages and produces no metric rows for
         them) keeps the original rows; re-running a stage replaces its
-        row — zero duplicates either way."""
+        row — zero duplicates either way.
+
+        Written DRIVER-SIDE with pyarrow: the ledger is a handful of
+        rows already materialized on the driver, and routing it through
+        a Spark job added two serial driver round trips (createDataFrame
+        + collect + write) to every run — pure non-scaling wall-clock at
+        bench corpus sizes. Parquet-on-disk layout is unchanged (Spark
+        reads it back with the METRICS schema)."""
         if not self.metrics:
             return
-        from nous_spark.schemas import METRICS
+        import pyarrow as pa
+        import pyarrow.parquet as pq
 
-        mdf = self.spark.createDataFrame(self.metrics, METRICS)
         path = os.path.join(self.out_dir, "metrics", f"run_id={self.run_id}")
+        prior_rows: list[dict] = []
         if os.path.exists(path):
-            prior = self.spark.read.schema(METRICS).parquet(path)
             fresh = {m["stage"] for m in self.metrics}
-            mdf = prior.filter(~F.col("stage").isin(list(fresh))).unionByName(mdf)
-        # materialize before overwriting the directory being read
-        rows = mdf.collect()
-        self.spark.createDataFrame(rows, METRICS).write.mode("overwrite").parquet(path)
+            prior = pq.read_table(path)
+            prior_rows = [r for r in prior.to_pylist() if r["stage"] not in fresh]
+        rows = prior_rows + self.metrics
+        schema = pa.schema(
+            [
+                pa.field("run_id", pa.string(), nullable=False),
+                pa.field("stage", pa.string(), nullable=False),
+                pa.field("partition_id", pa.int32()),
+                pa.field("rows_in", pa.int64()),
+                pa.field("rows_out", pa.int64()),
+                pa.field("tokens", pa.int64()),
+                pa.field("cost_usd", pa.decimal128(18, 8)),
+                pa.field("started_at", pa.timestamp("us", tz="UTC")),
+                pa.field("finished_at", pa.timestamp("us", tz="UTC")),
+                pa.field("status", pa.string()),
+                pa.field("error_type", pa.string()),
+            ]
+        )
+        table = pa.Table.from_pylist(rows, schema=schema)
+        os.makedirs(path, exist_ok=True)
+        tmp = os.path.join(path, "_tmp.parquet")
+        pq.write_table(table, tmp)
+        for f in os.listdir(path):
+            if f.endswith(".parquet") and f != "_tmp.parquet":
+                os.remove(os.path.join(path, f))
+        os.replace(tmp, os.path.join(path, "part-00000.parquet"))
         self.metrics = []
 
 
@@ -348,24 +410,33 @@ def run_pipeline(
     )
     mentions = run.checkpoint("mentions", stage_mentions(docs))
     mapping = run.checkpoint(
-        "canonical", stage_canonical(mentions, alias_dict, use_lsh=use_lsh)
+        "canonical", stage_canonical(mentions, alias_dict, use_lsh=use_lsh, docs=docs)
     )
-    linked = run.checkpoint("triples", stage_link(docs, mentions, mapping))
 
     # mentions x mapping feeds three of the five graph tables — persist it
-    # once instead of recomputing the join per table job.
+    # once instead of recomputing the join per table job, and FILL the
+    # cache eagerly: if the fill happened lazily inside the five
+    # concurrent table jobs, they would contend on the cache partition
+    # locks (first-toucher computes, the rest block) — a serialized,
+    # poorly-scaling prefix inside every write job. The fill job runs
+    # CONCURRENTLY with the triples checkpoint (they share no inputs'
+    # outputs), so neither adds serial wall.
+    from concurrent.futures import ThreadPoolExecutor
+
     mentions_mapped = (
         mentions.join(mapping, "anchor_id")
         .select("url", "mention_rank", "id_type", "id_value", "entity_id", "warc_ts")
         .persist()
     )
+    with ThreadPoolExecutor(max_workers=1) as prefill:
+        fill_fut = prefill.submit(mentions_mapped.count)
+        linked = run.checkpoint("triples", stage_link(docs, mentions, mapping))
+        fill_fut.result()
     tables = stage_materialize(linked, mentions_mapped, n_salts=n_salts)
     # The five graph tables are independent given (linked, mentions_mapped):
     # submit their jobs CONCURRENTLY (Spark's scheduler interleaves them
     # across the executor pool) instead of serializing five small writes —
     # cuts the materialize wall to ~max(table) instead of sum(table).
-    from concurrent.futures import ThreadPoolExecutor
-
     if tenant_id is not None:
         tables = {
             name: t.withColumn("tenant_id", F.lit(tenant_id))
@@ -379,15 +450,18 @@ def run_pipeline(
     part = ["tenant_id"] if tenant_id is not None else None
     out = {}
     try:
-        with ThreadPoolExecutor(max_workers=len(GRAPH_TABLES)) as pool:
+        with ThreadPoolExecutor(max_workers=len(GRAPH_TABLES) + 1) as pool:
             futs = {
                 name: pool.submit(run.checkpoint, f"graph_{name}", tables[name], part)
                 for name in GRAPH_TABLES
             }
+            # lineage is independent of the table writes — same pool, so
+            # its job interleaves instead of adding a serial tail
+            lineage_fut = pool.submit(run.write_lineage, "triples", linked)
             for name, fut in futs.items():
                 out[name] = fut.result()
+            lineage_fut.result()
     finally:
         mentions_mapped.unpersist()
-    run.write_lineage("triples", linked)
     run.flush_metrics()
     return out

@@ -71,7 +71,11 @@ def assimilate_batch(
     docs = stage_extract(pages).persist()
     mentions = stage_mentions(docs).persist()
     try:
-        mapping = canonical_mapping(mentions)
+        from nous_spark.linking import cooccurrence_alias_edges_from_arrays
+
+        mapping = canonical_mapping(
+            mentions, cooccur_edges=cooccurrence_alias_edges_from_arrays(docs)
+        )
         linked = stage_link(docs, mentions, mapping).persist()
         mentions_mapped = (
             mentions.join(mapping, "anchor_id")

@@ -71,3 +71,38 @@ def test_partial_probe_recall(clustered):
         hits += len(exact & approx)
     recall = hits / (10 * N_CLUSTERS)
     assert recall >= 0.9, recall
+
+
+def test_lsh_multiprobe_recall_improves(spark):
+    """Multiprobe inspects the lowest-margin flip buckets: recall@k vs
+    exact must be non-decreasing in n_probes, and generous probing must
+    recover most of the exact top-k (single-probe typically cannot)."""
+    import numpy as np
+
+    from nous_spark.operators.similarity import cosine_topk, lsh_ann_topk
+
+    rng = np.random.RandomState(5)
+    base = rng.standard_normal(32)
+    base /= np.linalg.norm(base)
+    rows = []
+    for i in range(200):
+        if i < 30:  # planted near neighbors (cosine ~0.92 to the query)
+            v = base + 0.08 * rng.standard_normal(32)
+        else:
+            v = rng.standard_normal(32)
+        rows.append((i, [float(x) for x in v]))
+    vectors = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    query = [float(x) for x in base]
+
+    exact = {r["vec_id"] for r in cosine_topk(vectors, query, k=10).collect()}
+    recalls = []
+    for probes in (1, 8, 32):
+        got = {
+            r["vec_id"]
+            for r in lsh_ann_topk(
+                vectors, query, k=10, n_planes=8, n_probes=probes
+            ).collect()
+        }
+        recalls.append(len(got & exact) / len(exact))
+    assert recalls[0] <= recalls[1] <= recalls[2]
+    assert recalls[2] >= 0.9

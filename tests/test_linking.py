@@ -124,3 +124,27 @@ def test_lsh_templated_identifier_family_is_bounded(spark):
 
     fan = Counter(r["src"] for r in pairs)
     assert max(fan.values()) <= 3
+
+
+def test_cooccurrence_array_form_equals_exploded_form(spark):
+    """The shuffle-free array derivation emits the exact same alias edge
+    set as the exploded-table url self-join (the pipeline uses the array
+    form; the contract is identity)."""
+    from nous_spark.datagen import generate_pages
+    from nous_spark.linking import (
+        cooccurrence_alias_edges,
+        cooccurrence_alias_edges_from_arrays,
+    )
+    from nous_spark.pipeline import stage_extract, stage_mentions
+
+    docs = stage_extract(generate_pages(spark, 300, seed=42)).persist()
+    try:
+        mentions = stage_mentions(docs)
+        old = {(r["src"], r["dst"]) for r in cooccurrence_alias_edges(mentions).collect()}
+        new = {
+            (r["src"], r["dst"])
+            for r in cooccurrence_alias_edges_from_arrays(docs).collect()
+        }
+        assert old == new and len(old) > 0
+    finally:
+        docs.unpersist()
