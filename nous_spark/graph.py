@@ -49,7 +49,21 @@ def build_graph_tables(
     min/max per (edge key, salt) spread hot entities ("Location:Paris"
     fan-in) over n_salts reducers before the final per-key merge.
     Results are identical either way — the salt affects placement only.
+
+    Split into ``build_entity_tables`` (mentions-only inputs) and
+    ``build_fact_tables`` (needs the linked triples too) so the pipeline
+    can start writing nodes/identifiers while the triples stage is still
+    materializing — this wrapper composes both for single-call users.
     """
+    return {
+        **build_entity_tables(linked_mentions),
+        **build_fact_tables(linked_triples, linked_mentions, n_salts=n_salts),
+    }
+
+
+def build_entity_tables(linked_mentions: DataFrame) -> dict[str, DataFrame]:
+    """nodes + identifiers — derived from the mapped mentions alone
+    (no dependency on the linked triples stage)."""
     # entity metadata (F5/F10 — the reference's Entity.metadata
     # dict[str,str], entity_model.py:26-31): populated from deterministic
     # per-entity aggregates (min => stable across runs/parallelism).
@@ -77,7 +91,13 @@ def build_graph_tables(
     identifiers = linked_mentions.select(
         F.col("id_value").alias("value"), "id_type"
     ).dropDuplicates(["value", "id_type"])
+    return {"nodes": nodes, "identifiers": identifiers}
 
+
+def build_fact_tables(
+    linked_triples: DataFrame, linked_mentions: DataFrame, n_salts: int = 0
+) -> dict[str, DataFrame]:
+    """facts + sources + edges (see build_graph_tables for contracts)."""
     # Deterministic merges for facts/sources too: non-key columns CAN
     # vary per key (fact_id is 'type:name' — a ':' inside type makes two
     # (type, name) pairs collide on one fact_id; one url recrawled at two
@@ -178,13 +198,7 @@ def build_graph_tables(
     )
 
     edges = has_identifier.unionByName(has_fact).unionByName(derived_from)
-    return {
-        "nodes": nodes,
-        "identifiers": identifiers,
-        "facts": facts,
-        "sources": sources,
-        "edges": edges,
-    }
+    return {"facts": facts, "sources": sources, "edges": edges}
 
 
 def idempotent_append(new_rows: DataFrame, existing: DataFrame | None, keys: list[str]) -> DataFrame:

@@ -428,33 +428,47 @@ def run_pipeline(
         .select("url", "mention_rank", "id_type", "id_value", "entity_id", "warc_ts")
         .persist()
     )
-    with ThreadPoolExecutor(max_workers=1) as prefill:
-        fill_fut = prefill.submit(mentions_mapped.count)
-        linked = run.checkpoint("triples", stage_link(docs, mentions, mapping))
-        fill_fut.result()
-    tables = stage_materialize(linked, mentions_mapped, n_salts=n_salts)
-    # The five graph tables are independent given (linked, mentions_mapped):
-    # submit their jobs CONCURRENTLY (Spark's scheduler interleaves them
-    # across the executor pool) instead of serializing five small writes —
-    # cuts the materialize wall to ~max(table) instead of sum(table).
-    if tenant_id is not None:
-        tables = {
-            name: t.withColumn("tenant_id", F.lit(tenant_id))
-            for name, t in tables.items()
-        }
-    # cluster edge files by head entity: parquet row-group min/max stats on
-    # `src` then prune most files for point recall lookups (the batch
-    # analog of the reference's unique B-tree on Entity.id,
-    # docs/graph_db_schema_age.md:40) — a local sort, no extra shuffle.
-    tables["edges"] = tables["edges"].sortWithinPartitions("src", "edge_type")
+
+    from nous_spark.graph import build_entity_tables, build_fact_tables
+
+    def stamp(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("tenant_id", F.lit(tenant_id)) if tenant_id is not None else df
+        )
+
     part = ["tenant_id"] if tenant_id is not None else None
-    out = {}
+    out: dict[str, DataFrame] = {}
     try:
-        with ThreadPoolExecutor(max_workers=len(GRAPH_TABLES) + 1) as pool:
-            futs = {
-                name: pool.submit(run.checkpoint, f"graph_{name}", tables[name], part)
-                for name in GRAPH_TABLES
-            }
+        # All graph-table writes + lineage run CONCURRENTLY (Spark's
+        # scheduler interleaves their jobs across the executor pool)
+        # instead of serializing six small writes — AND the mm-only
+        # tables (nodes, identifiers) don't wait for the triples stage:
+        # they start right after the cache fill, overlapping the triples
+        # checkpoint. facts/sources/edges join in once `linked` lands.
+        with ThreadPoolExecutor(max_workers=len(GRAPH_TABLES) + 2) as pool:
+            fill_fut = pool.submit(mentions_mapped.count)
+            ent_tables = build_entity_tables(mentions_mapped)
+
+            def write_after_fill(name: str) -> DataFrame:
+                fill_fut.result()
+                return run.checkpoint(f"graph_{name}", stamp(ent_tables[name]), part)
+
+            futs = {name: pool.submit(write_after_fill, name) for name in ("nodes", "identifiers")}
+            linked = run.checkpoint("triples", stage_link(docs, mentions, mapping))
+
+            fact_tables = build_fact_tables(linked, mentions_mapped, n_salts=n_salts)
+            # cluster edge files by head entity: parquet row-group min/max
+            # stats on `src` then prune most files for point recall lookups
+            # (the batch analog of the reference's unique B-tree on
+            # Entity.id, docs/graph_db_schema_age.md:40) — a local sort,
+            # no extra shuffle.
+            fact_tables["edges"] = fact_tables["edges"].sortWithinPartitions(
+                "src", "edge_type"
+            )
+            for name in ("facts", "sources", "edges"):
+                futs[name] = pool.submit(
+                    run.checkpoint, f"graph_{name}", stamp(fact_tables[name]), part
+                )
             # lineage is independent of the table writes — same pool, so
             # its job interleaves instead of adding a serial tail
             lineage_fut = pool.submit(run.write_lineage, "triples", linked)
