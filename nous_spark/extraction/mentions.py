@@ -12,7 +12,9 @@ content deterministically:
   * ``mailto:`` hrefs and bare RFC-ish emails        -> type=email;
   * ``@handle`` tokens                                -> type=username;
   * E.164-ish phone numbers (+NNNNNNN...)             -> type=phone;
-  * canonical-form UUIDs                              -> type=uuid.
+  * canonical-form UUIDs                              -> type=uuid;
+  * social profile URLs (linkedin/github/twitter|x/
+    instagram), value "platform:handle"               -> type=social_id.
 
 The FIRST mention in document order is the page's subject (mirrors the
 one-identifier-per-request contract); all mentions are kept for alias
@@ -39,6 +41,19 @@ _RE_PHONE = re.compile(r"(?<![\w.])\+\d{7,15}\b")
 _RE_UUID = re.compile(
     r"\b[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}\b", re.IGNORECASE
 )
+# in-the-wild social_id: profile URLs of the major platforms -> a
+# platform-qualified value ("github:alice"), so the same handle on two
+# platforms never aliases (the reference receives social_id via the
+# request envelope, models/identifier_model.py:38-43; a crawl has to
+# detect it from profile links instead)
+_RE_SOCIAL = re.compile(
+    r"\b(?:https?://)?(?:www\.)?"
+    r"(?:(?P<li>linkedin\.com/in/)|(?P<gh>github\.com/)|"
+    r"(?P<tw>(?:twitter|x)\.com/)|(?P<ig>instagram\.com/))"
+    r"@?(?P<handle>[A-Za-z0-9][\w.-]{1,38})\b",
+    re.IGNORECASE,
+)
+_SOCIAL_PLATFORM = {"li": "linkedin", "gh": "github", "tw": "twitter", "ig": "instagram"}
 
 MENTION_STRUCT = T.StructType(
     [
@@ -65,6 +80,12 @@ def extract_mentions_text(text: str | None) -> list[tuple[str, str]]:
         found.append((m.start(), "phone", norm_identifier_value(m.group(0))))
     for m in _RE_UUID.finditer(masked):
         found.append((m.start(), "uuid", norm_identifier_value(m.group(0).lower())))
+    for m in _RE_SOCIAL.finditer(masked):
+        platform = next(
+            _SOCIAL_PLATFORM[k] for k, v in m.groupdict().items() if v and k != "handle"
+        )
+        value = f"{platform}:{m.group('handle').lower()}"
+        found.append((m.start(), "social_id", norm_identifier_value(value)))
     found.sort(key=lambda x: x[0])
     out: list[tuple[str, str]] = []
     seen: set[tuple[str, str]] = set()

@@ -88,3 +88,20 @@ def test_mentions_phone_uuid():
     got = dict((t, v) for t, v in extract_mentions_text(text))
     assert got.get("phone") == "+4915112345678"
     assert got.get("uuid") == "123e4567-e89b-12d3-a456-426614174000"
+
+
+def test_mentions_social_profiles():
+    """In-the-wild social_id detection (identifier_model.py:38-43 enum):
+    platform-qualified so the same handle on two platforms never aliases."""
+    text = (
+        "Find me at https://github.com/Alice-Dev or "
+        "www.linkedin.com/in/alice-dev and x.com/@alicedev."
+    )
+    got = [(t, v) for t, v in extract_mentions_text(text)]
+    socials = {v for t, v in got if t == "social_id"}
+    assert "github:alice-dev" in socials
+    assert "linkedin:alice-dev" in socials
+    assert "twitter:alicedev" in socials
+    # explicit Identity: social_id lines still work and are not re-detected
+    got2 = extract_mentions_text("Identity: social_id:github:bob\nno links here")
+    assert got2 == [("social_id", "github:bob")]
