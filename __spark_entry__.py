@@ -437,8 +437,11 @@ def _q_doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_doc_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """URL canonicalization demo over synthetic messy variants (rows-only:
-    urllib semantics aren't reproducible in DuckDB SQL)."""
+    """URL canonicalization over fixed messy variants. urllib semantics
+    aren't recomputable in DuckDB SQL, but the inputs are FIXED and
+    deterministic, so the oracle pins the SPEC — the expected canonical
+    form per variant (scheme/host lowering, default-port strip, fragment
+    drop, query-param sort, empty-path slash) as a VALUES table."""
     variants = spark.createDataFrame(
         [
             (i, u)
@@ -686,8 +689,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": _q_doc_fingerprints,
         "ann_batch_topk": _q_ann_batch_topk,
         "kg_embeddings_build": _q_kg_embeddings,
+        "doc_canonical_urls": _q_doc_canonical_urls,
         # rows-only (non-SQL-expressible: seeded sketches / UDF heuristics /
-        # uuid5 point ids / urllib canonicalization)
+        # uuid5 point ids)
         "doc_simhash_near_dups": _q_simhash_near_dups,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -695,7 +699,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup_lsh": _q_emb_near_dup_lsh,
         "kg_rag_recall": _q_kg_rag_recall,
         "media_image_features": _q_media_image_features,
-        "doc_canonical_urls": _q_doc_canonical_urls,
     }
 
 
@@ -1183,5 +1186,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT src AS entity_id, dst AS fact_id, pred AS verb,
                    64 AS dim
             FROM edges WHERE edge_type = 'HAS_FACT'
+        """,
+        # spec-pinning oracle: expected canonical form per fixed variant
+        "doc_canonical_urls": """
+            SELECT CAST(row_id AS BIGINT) AS row_id, canonical
+            FROM (VALUES
+              (0, 'http://example.com/a/b?a=2&z=1'),
+              (1, 'https://example.com/a/b/?a=2&z=1'),
+              (2, 'https://example.com/a/b?a=2&z=1'),
+              (3, 'http://example.com/'),
+              (4, 'http://example.com/')
+            ) AS t(row_id, canonical)
         """,
     }
