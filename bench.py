@@ -54,7 +54,7 @@ N_PAGES = int(os.environ.get("NOUS_BENCH_PAGES", "270000"))
 # interleaved pair starts only if the cheapest pair observed so far
 # suggests it finishes inside this. 540s + ~25s of headline keeps the
 # whole bench safely under the driver's ~600s budget.
-SOFT_DEADLINE = float(os.environ.get("NOUS_BENCH_DEADLINE", "540"))  # sec
+SOFT_DEADLINE = float(os.environ.get("NOUS_BENCH_DEADLINE", "515"))  # sec
 REPEATS = int(os.environ.get("NOUS_BENCH_REPEATS", "3"))  # deadline-bounded
 PILOT_PAGES = int(os.environ.get("NOUS_BENCH_PILOT", "600"))
 FILL = int(os.environ.get("NOUS_BENCH_FILL", "8"))
@@ -297,18 +297,32 @@ def main() -> None:
     w4.wait_ready()
     wn = PipelineWorker(CORES_N, N_PAGES)
     wn.wait_ready()
+    # HARD end: a run that would push the bench past the driver's ~600s
+    # budget is killed and the bench reports whatever pairs completed —
+    # a partial result beats a timed-out, outputless run.
+    hard_end = bench_start + SOFT_DEADLINE + 25
     try:
         for rep in range(REPEATS):
             elapsed = time.time() - bench_start
-            if rep > 1:
-                # two pairs always run (min-wall needs repeats); a third+
-                # starts only if the CHEAPEST pair so far plausibly fits
+            if rep > 0:
+                # a second/third pair starts only if the CHEAPEST pair so
+                # far plausibly fits the deadline
                 if elapsed + (pair_cost or SOFT_DEADLINE) > SOFT_DEADLINE:
                     break
             pair_t0 = time.time()
             controls.append(cpu_scale_control(CORES_N, CORES_4N))
-            r4n = w4.run(f"/tmp/nous_bench_{CORES_4N}")
-            rn = wn.run(f"/tmp/nous_bench_{CORES_N}")
+            try:
+                r4n = w4.run(
+                    f"/tmp/nous_bench_{CORES_4N}",
+                    timeout=max(30, hard_end - time.time()),
+                )
+                rn = wn.run(
+                    f"/tmp/nous_bench_{CORES_N}",
+                    timeout=max(30, hard_end - time.time()),
+                )
+            except (TimeoutError, RuntimeError):
+                controls.pop()  # this pair never completed
+                break
             walls_4n.append(r4n["wall_sec"])
             walls_n.append(rn["wall_sec"])
             stages_4n.append(r4n.get("stages", {}))
@@ -319,6 +333,22 @@ def main() -> None:
     finally:
         w4.stop()
         wn.stop()
+    if not walls_4n:
+        # nothing completed inside the budget — emit the headline section
+        # with an explicit pipeline error rather than crashing outputless
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_queries_total",
+                    "value": round(sum(timings.values()), 3),
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": SF_DIR.rstrip("/").split("sf")[-1],
+                    "pipeline": {"error": "no pair completed within budget"},
+                }
+            )
+        )
+        return
     t4n, tn = min(walls_4n), min(walls_n)
     control_eff = max(controls)
     # Two estimators, both reported:
