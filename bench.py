@@ -371,8 +371,14 @@ def main() -> None:
     # no information about engine scaling and are excluded from the
     # primary estimate (still printed in scaling_efficiency_per_pair).
     valid = [e for e in pair_effs if e <= 1.02]
-    efficiency = max(valid) if valid else min(pair_effs)
-    best = pair_effs.index(efficiency)
+    if valid:
+        efficiency = max(valid)
+        best = pair_effs.index(efficiency)
+    else:
+        # every pair was corrupted by a mid-pair host collapse; report the
+        # least-corrupted one capped at the physical bound and flag it
+        best = pair_effs.index(min(pair_effs))
+        efficiency = min(pair_effs[best], 1.0)
     efficiency_minwall = (tn / t4n) / (CORES_4N / CORES_N)
     triples_per_sec = n_triples / t4n
     # dominant-stage scaling from the BEST PAIR's own ledgers: at
@@ -408,6 +414,7 @@ def main() -> None:
             "triples_per_sec_4n": round(triples_per_sec, 1),
             "pages_per_sec_4n": round(N_PAGES / t4n, 1),
             "scaling_efficiency_n_to_4n": round(efficiency, 3),
+            "all_pairs_invalid": not valid,
             "scaling_efficiency_per_pair": pair_effs,
             "scaling_efficiency_minwall": round(efficiency_minwall, 3),
             "extract_stage_efficiency_n_to_4n": extract_eff,
