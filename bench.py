@@ -361,19 +361,30 @@ def main() -> None:
     #    systematically pairs a turbo-boosted N run with a quiet 4N run.
     #  * min-wall (reference): the round-1 estimator, kept for
     #    comparability.
-    pair_effs = [
-        round((wn_ / w4_) / (CORES_4N / CORES_N), 3)
-        for wn_, w4_ in zip(walls_n, walls_4n)
+    ratio = CORES_4N / CORES_N
+    pair_effs = [round((wn_ / w4_) / ratio, 3) for wn_, w4_ in zip(walls_n, walls_4n)]
+    pair_extract_effs = [
+        round((sn["extract"] / s4["extract"]) / ratio, 3)
+        if sn.get("extract") and s4.get("extract")
+        else None
+        for sn, s4 in zip(stages_n, stages_4n)
     ]
     # validity clamp: efficiency > 1 is physically impossible for the
     # engine — it means the host collapsed DURING that pair's N run
-    # (observed: a 375s wall for a nominally 160s run). Such pairs carry
-    # no information about engine scaling and are excluded from the
-    # primary estimate (still printed in scaling_efficiency_per_pair).
-    valid = [e for e in pair_effs if e <= 1.02]
-    if valid:
-        efficiency = max(valid)
-        best = pair_effs.index(efficiency)
+    # (observed: a 375s wall for a nominally 160s run). The check is
+    # applied BOTH end-to-end and on the extract stage alone (extraction
+    # is embarrassingly parallel: its per-pair efficiency > 1 is the
+    # sharpest collapse detector). Invalid pairs carry no information
+    # about engine scaling and are excluded from the primary estimate
+    # (still printed in the per-pair lists).
+    valid_idx = [
+        i
+        for i, e in enumerate(pair_effs)
+        if e <= 1.02 and (pair_extract_effs[i] is None or pair_extract_effs[i] <= 1.02)
+    ]
+    if valid_idx:
+        best = max(valid_idx, key=lambda i: pair_effs[i])
+        efficiency = pair_effs[best]
     else:
         # every pair was corrupted by a mid-pair host collapse; report the
         # least-corrupted one capped at the physical bound and flag it
@@ -414,8 +425,9 @@ def main() -> None:
             "triples_per_sec_4n": round(triples_per_sec, 1),
             "pages_per_sec_4n": round(N_PAGES / t4n, 1),
             "scaling_efficiency_n_to_4n": round(efficiency, 3),
-            "all_pairs_invalid": not valid,
+            "all_pairs_invalid": not valid_idx,
             "scaling_efficiency_per_pair": pair_effs,
+            "extract_efficiency_per_pair": pair_extract_effs,
             "scaling_efficiency_minwall": round(efficiency_minwall, 3),
             "extract_stage_efficiency_n_to_4n": extract_eff,
             "stage_walls_n": stn,
