@@ -257,6 +257,7 @@ class PipelineWorker:
 
 
 def main() -> None:
+    script_t0 = time.time()
     if len(sys.argv) > 1 and sys.argv[1] == "--pipeline-child":
         pipeline_child(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
         return
@@ -290,24 +291,42 @@ def main() -> None:
     stages_4n, stages_n = [], []
     n_triples = 0
     pair_cost = None
+    # HARD end: a run that would push the bench past the driver's ~600s
+    # budget is killed and the bench reports whatever pairs completed —
+    # a partial result beats a timed-out, outputless run. Anchored to
+    # PROCESS start (not the pipeline section) so a slow headline phase
+    # on a degraded host cannot push the total past the budget.
+    hard_end = script_t0 + float(os.environ.get("NOUS_BENCH_HARD", "570"))
     # one persistent worker per parallelism level: JVM start + pages
     # materialization + warm-up pilot paid ONCE, every interleaved rep
     # costs only its timed region — this is what fits >=3 pairs in budget
-    w4 = PipelineWorker(CORES_4N, N_PAGES)  # started first: materializes pages
-    w4.wait_ready()
-    wn = PipelineWorker(CORES_N, N_PAGES)
-    wn.wait_ready()
-    # HARD end: a run that would push the bench past the driver's ~600s
-    # budget is killed and the bench reports whatever pairs completed —
-    # a partial result beats a timed-out, outputless run.
-    hard_end = bench_start + SOFT_DEADLINE + 25
+    try:
+        w4 = PipelineWorker(CORES_4N, N_PAGES)  # started first: materializes pages
+        w4.wait_ready(timeout=max(30, hard_end - time.time() - 120))
+        wn = PipelineWorker(CORES_N, N_PAGES)
+        wn.wait_ready(timeout=max(30, hard_end - time.time() - 60))
+    except (TimeoutError, RuntimeError):
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_queries_total",
+                    "value": round(sum(timings.values()), 3),
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": SF_DIR.rstrip("/").split("sf")[-1],
+                    "pipeline": {"error": "worker startup exceeded budget"},
+                }
+            )
+        )
+        return
     try:
         for rep in range(REPEATS):
             elapsed = time.time() - bench_start
             if rep > 0:
                 # a second/third pair starts only if the CHEAPEST pair so
-                # far plausibly fits the deadline
-                if elapsed + (pair_cost or SOFT_DEADLINE) > SOFT_DEADLINE:
+                # far plausibly fits both the deadline and the hard cap
+                est = pair_cost or SOFT_DEADLINE
+                if elapsed + est > SOFT_DEADLINE or time.time() + est > hard_end:
                     break
             pair_t0 = time.time()
             controls.append(cpu_scale_control(CORES_N, CORES_4N))
