@@ -43,13 +43,13 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# 270k pages: sized so the parallel term dominates the ~13s fixed
+# 240k pages: sized so the parallel term dominates the ~13s fixed
 # orchestration floor (the binding constraint for the 0.8 efficiency
 # gate: extraction runs AT the measured host ceiling, so corpus size is
 # the only remaining dial) while two interleaved pairs still fit the
 # deadline; a third pair runs when the pages parquet is already cached
 # and the host is quiet.
-N_PAGES = int(os.environ.get("NOUS_BENCH_PAGES", "270000"))
+N_PAGES = int(os.environ.get("NOUS_BENCH_PAGES", "240000"))
 # budget for the PIPELINE section (headline queries excluded): a new
 # interleaved pair starts only if the cheapest pair observed so far
 # suggests it finishes inside this. 540s + ~25s of headline keeps the
