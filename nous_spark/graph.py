@@ -73,7 +73,11 @@ def build_entity_tables(linked_mentions: DataFrame) -> dict[str, DataFrame]:
         linked_mentions.groupBy("entity_id")
         .agg(
             F.min("warc_ts").alias("created_at"),
-            F.min("url").alias("_first_url"),
+            # genuinely first-SEEN url: min over (warc_ts, url) structs —
+            # earliest mention wins, url breaks ts ties deterministically
+            # (min(url) alone would be the lexicographic min, which
+            # contradicts the key's meaning)
+            F.min(F.struct("warc_ts", "url"))["url"].alias("_first_url"),
             F.min(F.when(F.col("mention_rank") == 0, F.col("id_type"))).alias("_ptype"),
         )
         .withColumn(

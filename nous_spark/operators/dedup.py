@@ -12,8 +12,9 @@ Scale notes:
     S-curve crosses ~0.5 at s≈0.5; buckets are (band_id, band_hash)
     pairs, so the shuffle key space is huge and hot buckets (boilerplate
     docs) are bounded by band width, not corpus size.
-  * SimHash: 64-bit fingerprints, near-dup = hamming<=3 via 4x16-bit
-    pigeonhole blocking, verified with bit_count(xor) in the JVM.
+  * SimHash: 64-bit fingerprints, near-dup at radius h via
+    (h+1)-chunk pigeonhole blocking (h=3 -> the classic 4x16 split),
+    verified with bit_count(xor) in the JVM.
   * n-gram Jaccard: exact verification — explode distinct shingle hashes,
     equi-join on shingle, count shared / union. Run AFTER blocking at
     scale; standalone it is quadratic in bucket size only.
@@ -161,22 +162,38 @@ def lsh_candidate_pairs(
 
     ``max_bucket`` is the hot-bucket cap (same defense as the identifier
     path, linking.lsh_alias_candidates): (band, bucket) groups holding
-    more than ``max_bucket`` docs are DROPPED before the self-join. A
-    huge bucket is shared boilerplate, not near-dup evidence — a
-    boilerplate-heavy corpus would otherwise put ~n docs in one bucket
-    and make this join quadratic in corpus size. Any true near-dup pair
-    (high Jaccard) still collides in some *small* bucket with probability
-    ~1-(1-s^r)^(b-hot); the cap bounds the join at max_bucket^2 rows per
-    bucket regardless of corpus size.
+    more than ``max_bucket`` docs do NOT self-join — a huge bucket is
+    shared boilerplate, and a boilerplate-heavy corpus would otherwise
+    put ~n docs in one bucket and make this join quadratic in corpus
+    size. Hot buckets instead STAR-CHAIN: every member is paired with
+    the bucket's min id (linear cost, one deterministic hub per bucket),
+    so membership in an over-cap near-dup CLUSTER still surfaces —
+    verification downstream keeps only true pairs, and dedup consumers
+    (drop all but canonical) see every cluster member paired with a
+    canonical hub. Dropping the bucket outright would zero recall on any
+    cluster larger than the cap (every one of its buckets is hot in
+    every band). Pair-ENUMERATION recall between non-hub members of an
+    over-cap cluster still relies on some small bucket; the cap bounds
+    the join at max_bucket^2 + bucket_size rows per bucket.
     """
+    return _capped_bucket_pairs(
+        _band_buckets(signatures, id_col, n_bands, n_hashes),
+        ["band", "bucket"],
+        id_col,
+        max_bucket,
+    )
+
+
+def _band_buckets(
+    signatures: DataFrame, id_col: str, n_bands: int, n_hashes: int | None
+) -> DataFrame:
     if n_hashes is None:
         n_hashes = 64  # matches minhash_signatures default
         sig_len_row = signatures.select(F.size("sig").alias("n")).first()
         if sig_len_row is not None:
             n_hashes = sig_len_row["n"]
     r = n_hashes // n_bands
-
-    bands = signatures.select(
+    return signatures.select(
         id_col,
         F.posexplode(
             F.transform(
@@ -185,25 +202,50 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "bucket"),
     )
-    small = (
-        bands.groupBy("band", "bucket")
-        .agg(F.count("*").alias("_n"))
-        .filter(F.col("_n") <= max_bucket)
-        .drop("_n")
+
+
+def _capped_bucket_pairs(
+    buckets: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    max_bucket: int,
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs from bucketed rows with the hot-bucket
+    defense shared by every blocking operator (MinHash bands, SimHash
+    chunks, hyperplane tables):
+
+      * buckets with <= max_bucket members: full per-bucket self-join
+        (quadratic in the CAP, not the corpus);
+      * hot buckets: star-chain each member to the bucket's min id —
+        linear, deterministic, keeps over-cap clusters reachable
+        (dropping the bucket outright zeroes recall on any cluster
+        larger than the cap, because EVERY bucket of such a cluster is
+        hot in every band).
+
+    Candidates are verified downstream, so star pairs can only add true
+    pairs, never false ones.
+    """
+    stats = buckets.groupBy(*bucket_cols).agg(
+        F.count("*").alias("_n"), F.min(id_col).alias("_hub")
     )
-    bands = bands.join(small, ["band", "bucket"], "left_semi")
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+    small_keys = stats.filter(F.col("_n") <= max_bucket).select(*bucket_cols)
+    small = buckets.join(small_keys, bucket_cols, "left_semi")
+    a, b = small.alias("a"), small.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    for c in bucket_cols:
+        cond = (F.col(f"a.{c}") == F.col(f"b.{c}")) & cond
+    pairs_small = a.join(b, cond).select(
+        F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
     )
+    # hot buckets: (hub=min id) x member — the hub is the bucket min, so
+    # hub < member always and the (id_a < id_b) orientation is preserved
+    hot = stats.filter(F.col("_n") > max_bucket).select(*bucket_cols, "_hub")
+    pairs_hot = (
+        buckets.join(hot, bucket_cols)
+        .filter(F.col(id_col) != F.col("_hub"))
+        .select(F.col("_hub").alias("id_a"), F.col(id_col).alias("id_b"))
+    )
+    return pairs_small.unionByName(pairs_hot).dropDuplicates(["id_a", "id_b"])
 
 
 def minhash_near_dups(
@@ -414,66 +456,69 @@ def simhash_near_dups(
     max_hamming: int = 3,
     seed: int = 42,
     max_bucket: int = 256,
+    fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """Pairs with hamming(simhash_a, simhash_b) <= max_hamming.
 
-    Blocking: split the 64-bit fingerprint into 4 x 16-bit chunks; any
-    pair within hamming<=3 must agree on >=1 chunk (pigeonhole), so the
-    candidate join is an equi-join on (chunk_idx, chunk_value). The
-    verification (bit_count of xor) runs JVM-side.
+    ``fingerprints``: optional precomputed (id, simhash) frame — skips
+    the text pass (callers that already fingerprint, and the radius-
+    contract tests that construct adversarial bit patterns directly).
+
+    Blocking: split the 64-bit fingerprint into ``max_hamming + 1``
+    chunks (pigeonhole: a pair differing in <= max_hamming bits must
+    agree EXACTLY on at least one chunk), so the candidate join is an
+    equi-join on (chunk_idx, chunk_value) and blocking recall is 1 at
+    the requested radius BY CONSTRUCTION — the chunk count is derived
+    from the radius, never fixed (a fixed 4-chunk split silently misses
+    hamming-4..8 pairs that differ in all four chunks). max_hamming=3
+    reproduces the classic 4 x 16-bit split. The verification
+    (bit_count of xor) runs JVM-side. ``max_hamming`` must be < 64.
 
     ``max_bucket``: expected (chunk_idx, chunk_val) population is
-    n/65536 per chunk value, i.e. candidates grow ~n^2/65536 with corpus
-    size — at web scale hot chunk buckets (boilerplate fingerprints)
-    must be capped like the MinHash bands. Buckets above the cap are
-    dropped before the self-join; a true near-dup pair (hamming<=3)
-    agrees on >=1 of 4 chunks and only loses out if ALL of its agreeing
-    chunks are hot — i.e. the pair is itself boilerplate.
+    n/2^chunk_bits per chunk value, i.e. candidates grow ~quadratically
+    with corpus size — at web scale hot chunk buckets (boilerplate
+    fingerprints) are capped like the MinHash bands: full self-join
+    below the cap, star-chain to the bucket min above it (see
+    _capped_bucket_pairs).
     """
+    if not 0 <= max_hamming < 64:
+        raise ValueError(f"max_hamming must be in [0, 64), got {max_hamming}")
+    n_chunks = max_hamming + 1
+    base, extra = divmod(64, n_chunks)  # first `extra` chunks get base+1 bits
+    widths = [base + 1] * extra + [base] * (n_chunks - extra)
+    offsets = [sum(widths[:i]) for i in range(n_chunks)]
     # persist: the fingerprint expression would be re-inlined into all
-    # four chunk extractions and both join sides otherwise; released in
-    # the finally after the eager localCheckpoint of the (small) result
-    fp = simhash_fingerprints(docs, id_col, text_col, seed).persist()
+    # chunk extractions and both join sides otherwise; released in the
+    # finally after the eager localCheckpoint of the (small) result
+    fp = (
+        fingerprints
+        if fingerprints is not None
+        else simhash_fingerprints(docs, id_col, text_col, seed)
+    ).persist()
     try:
         chunks = fp.select(
             id_col,
-            "simhash",
             F.posexplode(
                 F.array(
                     *[
-                        F.shiftrightunsigned("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF))
-                        for i in range(4)
+                        F.shiftrightunsigned("simhash", off).bitwiseAND(
+                            F.lit((1 << w) - 1)
+                        )
+                        for off, w in zip(offsets, widths)
                     ]
                 )
             ).alias("chunk_idx", "chunk_val"),
         )
-        small = (
-            chunks.groupBy("chunk_idx", "chunk_val")
-            .agg(F.count("*").alias("_n"))
-            .filter(F.col("_n") <= max_bucket)
-            .drop("_n")
+        cands = _capped_bucket_pairs(
+            chunks, ["chunk_idx", "chunk_val"], id_col, max_bucket
         )
-        chunks = chunks.join(small, ["chunk_idx", "chunk_val"], "left_semi")
-        a = chunks.alias("a")
-        b = chunks.alias("b")
-        cands = (
-            a.join(
-                b,
-                (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
-                & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-            )
-            .select(
-                F.col(f"a.{id_col}").alias("id_a"),
-                F.col("a.simhash").alias("sh_a"),
-                F.col(f"b.{id_col}").alias("id_b"),
-                F.col("b.simhash").alias("sh_b"),
-            )
-            .dropDuplicates(["id_a", "id_b"])
-        )
+        fa = fp.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
+        fb = fp.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
         hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
         out = (
-            cands.withColumn("hamming", hamming)
+            cands.join(fa, "id_a")
+            .join(fb, "id_b")
+            .withColumn("hamming", hamming)
             .filter(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming")
         )
@@ -543,16 +588,24 @@ def embedding_near_dups(
 
     ``max_bucket``: expected bucket population is n/2^n_planes and grows
     with the corpus — hot buckets (near-zero vectors, boilerplate
-    embeddings) are dropped per table before the self-join, same defense
-    as the MinHash band cap.
+    embeddings) take the shared capped-pairs defense per table: full
+    self-join below the cap, star-chain to the bucket min above it
+    (see _capped_bucket_pairs).
     """
     from nous_spark.operators.similarity import hyperplane_buckets
 
     dim_row = vectors.select(F.size(vec_col).alias("d")).first()
     if dim_row is None:  # empty input -> empty result, not a crash
-        return vectors.sparkSession.createDataFrame(
-            [], f"id_a long, id_b long, cosine double"
+        # schema derived from the input (id_col may be string/int/...)
+        id_type = vectors.schema[id_col].dataType
+        empty_schema = T.StructType(
+            [
+                T.StructField("id_a", id_type),
+                T.StructField("id_b", id_type),
+                T.StructField("cosine", T.DoubleType()),
+            ]
         )
+        return vectors.sparkSession.createDataFrame([], empty_schema)
     dim = int(dim_row["d"])
 
     per_table = []
@@ -564,30 +617,7 @@ def embedding_near_dups(
     buckets = per_table[0]
     for bt in per_table[1:]:
         buckets = buckets.unionByName(bt)
-    small = (
-        buckets.groupBy("tbl", "bucket")
-        .agg(F.count("*").alias("_n"))
-        .filter(F.col("_n") <= max_bucket)
-        .drop("_n")
-    )
-    buckets = buckets.join(small, ["tbl", "bucket"], "left_semi")
-
-    a = buckets.select("tbl", "bucket", F.col(id_col).alias("id_a"))
-    b = buckets.select(
-        F.col("tbl").alias("tbl_b"),
-        F.col("bucket").alias("bucket_b"),
-        F.col(id_col).alias("id_b"),
-    )
-    cands = (
-        a.join(
-            b,
-            (F.col("tbl") == F.col("tbl_b"))
-            & (F.col("bucket") == F.col("bucket_b"))
-            & (F.col("id_a") < F.col("id_b")),
-        )
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])  # across tables
-    )
+    cands = _capped_bucket_pairs(buckets, ["tbl", "bucket"], id_col, max_bucket)
 
     va = vectors.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va")

@@ -22,6 +22,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def cosine_scores(
@@ -244,9 +245,14 @@ def hyperplane_buckets(
     if dim is None:
         first = vectors.select(F.size(vec_col).alias("d")).first()
         if first is None:  # empty input -> empty buckets, not a crash
-            return vectors.sparkSession.createDataFrame(
-                [], f"{id_col} long, bucket long"
+            # schema derived from the input (id_col may be string/int/...)
+            empty_schema = T.StructType(
+                [
+                    T.StructField(id_col, vectors.schema[id_col].dataType),
+                    T.StructField("bucket", T.LongType()),
+                ]
             )
+            return vectors.sparkSession.createDataFrame([], empty_schema)
         dim = int(first["d"])
     rng = np.random.RandomState(seed)
     planes = rng.standard_normal((n_planes, dim))
@@ -263,7 +269,15 @@ def hyperplane_buckets(
             buckets = (bits * (1 << np.arange(pl.shape[0]))).sum(axis=1).astype(np.int64)
             yield pd.DataFrame({id_col: pdf[id_col], "bucket": buckets})
 
-    return vectors.select(id_col, vec_col).mapInPandas(gen, f"{id_col} long, bucket long")
+    # output schema derives the id type from the input (string ids are
+    # legal); hardcoding `long` breaks Arrow conversion for string ids
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, vectors.schema[id_col].dataType),
+            T.StructField("bucket", T.LongType()),
+        ]
+    )
+    return vectors.select(id_col, vec_col).mapInPandas(gen, out_schema)
 
 
 def lsh_ann_topk(

@@ -375,10 +375,16 @@ class Run:
         os.makedirs(path, exist_ok=True)
         tmp = os.path.join(path, "_tmp.parquet")
         pq.write_table(table, tmp)
-        for f in os.listdir(path):
-            if f.endswith(".parquet") and f != "_tmp.parquet":
-                os.remove(os.path.join(path, f))
+        # crash-safe order: atomically replace the canonical part file
+        # FIRST (a crash before this point leaves the old ledger intact;
+        # after it, the new one), THEN sweep any other leftover part
+        # files. Deleting before the replace had a window where only the
+        # underscore-prefixed tmp existed — which parquet readers skip as
+        # hidden, silently losing the whole ledger.
         os.replace(tmp, os.path.join(path, "part-00000.parquet"))
+        for f in os.listdir(path):
+            if f.endswith(".parquet") and f != "part-00000.parquet":
+                os.remove(os.path.join(path, f))
         self.metrics = []
 
 

@@ -49,33 +49,71 @@ PLANTED = {(1000 + 2 * i, 1000 + 2 * i + 1) for i in range(8)}
 
 def test_minhash_hot_bucket_cap_bounds_boilerplate(boilerplate_corpus):
     """300 identical docs -> every boilerplate (band, bucket) exceeds the
-    cap and is dropped, so the candidate join stays bounded; the planted
-    pairs (small buckets) are still found."""
+    cap, so the self-join is replaced by the STAR-CHAIN to the bucket min
+    (linear: 299 hub pairs, never C(300,2)=44850); the planted pairs
+    (small buckets) are still found, and — the advisor's cluster-recall
+    fix — every over-cap cluster member still surfaces in some pair."""
     sigs = minhash_signatures(boilerplate_corpus)
     cands = lsh_candidate_pairs(sigs, n_hashes=64, max_bucket=64).collect()
     got = {(r["id_a"], r["id_b"]) for r in cands}
     assert PLANTED <= got
-    # without the cap the 300 boilerplate docs alone give C(300,2)=44850
-    # pairs; with it, none of them survive
-    assert not any(a < 1000 and b < 1000 for a, b in got)
-    assert len(got) < 300
+    boiler_pairs = {(a, b) for a, b in got if a < 1000 and b < 1000}
+    # linear star pairs only: every hot-bucket pair is (hub=0, member)
+    assert boiler_pairs == {(0, x) for x in range(1, 300)}
+    # bounded: ~n star pairs + planted/cross-variant candidates — never
+    # the C(300,2)=44850 quadratic blow-up
+    assert len(got) < 1000
 
     near = minhash_near_dups(boilerplate_corpus, threshold=0.5, max_bucket=64).collect()
-    assert PLANTED <= {(r["id_a"], r["id_b"]) for r in near}
+    near_pairs = {(r["id_a"], r["id_b"]) for r in near}
+    assert PLANTED <= near_pairs
+    # cluster membership survives the cap: all 300 identical docs appear
+    covered = {a for a, _ in near_pairs if a < 1000} | {
+        b for _, b in near_pairs if b < 1000
+    }
+    assert covered == set(range(300))
 
 
 def test_simhash_hot_bucket_cap_bounds_boilerplate(boilerplate_corpus):
+    from nous_spark.operators.dedup import simhash_fingerprints
+
     near = simhash_near_dups(
         boilerplate_corpus, max_hamming=10, max_bucket=64
     ).collect()
     got = {(r["id_a"], r["id_b"]) for r in near}
-    # boilerplate chunk buckets (300 members) are dropped pre-join
-    assert not any(a < 1000 and b < 1000 for a, b in got)
-    assert len(got) < 300
-    # planted one-word edits mostly land within hamming<=10 and small
-    # buckets (per-pair hamming is family-dependent; the pigeonhole
-    # blocking only GUARANTEES recall for hamming<=3)
-    assert len(PLANTED & got) >= 4
+    # boilerplate chunk buckets (300 members) star-chain to the hub —
+    # linear pairs at hamming 0, never the quadratic self-join
+    boiler_pairs = {(a, b) for a, b in got if a < 1000 and b < 1000}
+    assert boiler_pairs == {(0, x) for x in range(1, 300)}
+    # radius contract: with chunks derived from max_hamming (pigeonhole
+    # needs h+1 chunks), EVERY planted pair whose true hamming is <= 10
+    # must be found — no family-dependent slack
+    fps = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_fingerprints(boilerplate_corpus).collect()
+    }
+    expected = {
+        (a, b) for a, b in PLANTED if bin((fps[a] ^ fps[b]) & (2**64 - 1)).count("1") <= 10
+    }
+    assert expected == PLANTED & got
+    assert len(expected) >= 4  # one-word edits stay close in simhash space
+
+
+def test_simhash_radius_contract(spark):
+    """A hamming-6 pair that disagrees on ALL FOUR 16-bit chunks (the
+    round-2 silent miss: fixed 4-chunk blocking cannot see it) must be
+    found once the chunk count derives from the radius."""
+    from nous_spark.operators.dedup import simhash_near_dups
+
+    fp_a = 0
+    fp_b = (1 << 0) | (1 << 1) | (1 << 16) | (1 << 17) | (1 << 32) | (1 << 48)
+    docs = spark.createDataFrame([(1, "x"), (2, "y")], "doc_id long, text string")
+    fps = spark.createDataFrame([(1, fp_a), (2, fp_b)], "doc_id long, simhash long")
+    out = simhash_near_dups(docs, max_hamming=6, fingerprints=fps).collect()
+    assert {(r["id_a"], r["id_b"], r["hamming"]) for r in out} == {(1, 2, 6)}
+    # and the same pair at a radius below its distance is correctly absent
+    out3 = simhash_near_dups(docs, max_hamming=5, fingerprints=fps).collect()
+    assert out3 == []
 
 
 def test_ngram_stop_shingle_cap(spark):
@@ -151,8 +189,9 @@ def test_stacked_lsh_tables_recall_gate(spark):
 
 
 def test_embedding_hot_bucket_cap(spark):
-    """Thousands of identical vectors collapse into one bucket per table;
-    the cap drops them instead of emitting a quadratic pair set."""
+    """Hundreds of identical vectors collapse into one bucket per table;
+    the cap star-chains them to the hub (linear cluster coverage) instead
+    of emitting a quadratic pair set."""
     import numpy as np
 
     rng = np.random.RandomState(3)
@@ -169,5 +208,32 @@ def test_embedding_hot_bucket_cap(spark):
         vectors, threshold=0.95, n_planes=8, n_tables=4, max_bucket=64
     ).collect()
     got = {(r["id_a"], r["id_b"]) for r in out}
-    assert not any(a < 900 and b_ < 900 for a, b_ in got)
+    cluster_pairs = {(a, b_) for a, b_ in got if a < 900 and b_ < 900}
+    # linear star shape, full cluster coverage, no quadratic blow-up
+    assert cluster_pairs == {(0, x) for x in range(1, 500)}
     assert (900, 901) in got
+
+
+def test_embedding_near_dups_empty_input_schema(spark):
+    """Empty corpus with STRING ids: the empty fast path must derive its
+    schema from the input (round-2 hardcoded long ids), so it unions
+    cleanly with a non-empty result."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.StringType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    empty = spark.createDataFrame([], schema)
+    out = embedding_near_dups(empty)
+    assert out.count() == 0
+    assert out.schema["id_a"].dataType == T.StringType()
+    nonempty = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [1.0, 0.001])], schema
+    )
+    got = embedding_near_dups(nonempty, threshold=0.9, n_planes=2)
+    # schemas align -> the union is legal and keeps the real pair
+    unioned = out.unionByName(got).collect()
+    assert {(r["id_a"], r["id_b"]) for r in unioned} == {("a", "b")}

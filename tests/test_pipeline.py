@@ -229,8 +229,9 @@ def test_history_column_feeds_extraction(spark, tmp_path):
 
 def test_nodes_metadata_populated(spark, tmp_path):
     """nodes.metadata carries deterministic per-entity facts (F5/F10):
-    first_seen_url = min url, primary_id_type from the rank-0 mention —
-    and survives recanonicalization via the to_json/from_json merge."""
+    first_seen_url = url of the EARLIEST mention (min over (warc_ts, url)
+    structs), primary_id_type from the rank-0 mention — and survives
+    recanonicalization via the to_json/from_json merge."""
     from nous_spark.graph import recanonicalize_graph
 
     out = str(tmp_path / "metarun")
