@@ -579,6 +579,60 @@ def _q_kg_rag_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kg_rag_recall_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG read path (E1+C6+B8) with a STORED query vector — the fully
+    SQL-expressible twin of kg_rag_recall (whose only non-SQL piece is
+    the Python feature-hash query embedder).
+
+    Point table: every HAS_FACT edge of the tpch graph is assigned a
+    stored ``embeddings`` vector deterministically (row_number within
+    its entity partition, mod table size — a per-entity window, never a
+    global one). A second copy of each point with a '#stale' fact id
+    simulates vector-store rows whose graph assertion was deleted: they
+    compete for top-k rank slots (reference semantics: vector search
+    first, verify after — get_entity_usecase.py:145-160) but the
+    verification semi-join must drop them. top_k=3 over 4 candidates
+    exercises the k cutoff; ties (stale points share their twin's
+    vector, hence its score) break on point_id, mirrored in the oracle.
+    """
+    from pyspark.sql import Window
+
+    from nous_spark.semantic import rag_recall_stored
+
+    edges = tpch_edges(spark, sf_dir)
+    facts = tpch_facts(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    n_vec = emb.count()  # bounded driver scalar: embeddings is a dim table
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+
+    hf = edges.filter(F.col("edge_type") == "HAS_FACT").select(
+        F.col("src").alias("entity_id"),
+        F.col("dst").alias("fact_id"),
+        F.col("pred").alias("verb"),
+    )
+    w = Window.partitionBy("entity_id").orderBy("fact_id", "verb")
+    assigned = hf.withColumn("vec_id", (F.row_number().over(w) % n_vec).cast("long"))
+    stale = assigned.withColumn("fact_id", F.concat(F.col("fact_id"), F.lit("#stale")))
+    pts = (
+        assigned.unionByName(stale)
+        .join(emb.select("vec_id", F.col("embedding").alias("vector")), "vec_id")
+        .select(
+            F.concat_ws("|", "entity_id", "verb", "fact_id").alias("point_id"),
+            F.col("vector").cast("array<double>").alias("vector"),
+            "entity_id",
+            "fact_id",
+            "verb",
+        )
+    )
+    out = rag_recall_stored(
+        edges, facts, pts, "username", "Customer#000000001",
+        [float(x) for x in qvec], top_k=3, dim=64,
+    )
+    return out.select(
+        "entity_id", "fact_id", "verb", F.round("score", 4).alias("score"), "rank"
+    )
+
+
 def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints, md5-based Column form (JVM, codegen) —
     formula shared verbatim with the DuckDB oracle."""
@@ -690,6 +744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_batch_topk": _q_ann_batch_topk,
         "kg_embeddings_build": _q_kg_embeddings,
         "doc_canonical_urls": _q_doc_canonical_urls,
+        "kg_rag_recall_stored": _q_kg_rag_recall_stored,
         # rows-only (non-SQL-expressible: seeded sketches / UDF heuristics /
         # uuid5 point ids)
         "doc_simhash_near_dups": _q_simhash_near_dups,
@@ -1025,6 +1080,56 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[],
                                          b.embedding::DOUBLE[]) >= 0.4
+        """,
+        "kg_rag_recall_stored": f"""
+            WITH edges AS ({EDGES_SQL}), facts AS ({FACTS_SQL}),
+            ent AS (
+              SELECT DISTINCT src AS entity_id FROM edges
+              WHERE edge_type = 'HAS_IDENTIFIER'
+                AND dst = 'username:Customer#000000001'
+            ),
+            q AS (
+              SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+            ),
+            hf AS (
+              SELECT src AS entity_id, dst AS fact_id, pred AS verb
+              FROM edges WHERE edge_type = 'HAS_FACT'
+            ),
+            assigned AS (
+              SELECT entity_id, fact_id, verb,
+                     (row_number() OVER (
+                        PARTITION BY entity_id ORDER BY fact_id, verb
+                      )) % (SELECT count(*) FROM embeddings) AS vec_id
+              FROM hf
+            ),
+            pts0 AS (
+              SELECT entity_id, fact_id, verb, vec_id FROM assigned
+              UNION ALL
+              SELECT entity_id, fact_id || '#stale' AS fact_id, verb, vec_id
+              FROM assigned
+            ),
+            hits AS (
+              SELECT p.entity_id, p.fact_id, p.verb,
+                     p.entity_id || '|' || p.verb || '|' || p.fact_id AS point_id,
+                     list_inner_product(e.embedding::DOUBLE[], q.qv) AS score
+              FROM pts0 p
+              JOIN embeddings e ON e.vec_id = p.vec_id
+              JOIN ent ON ent.entity_id = p.entity_id, q
+            ),
+            topk AS (
+              SELECT entity_id, fact_id, verb, score,
+                     row_number() OVER (
+                       PARTITION BY entity_id ORDER BY score DESC, point_id ASC
+                     ) AS rank
+              FROM hits
+            )
+            SELECT t.entity_id, t.fact_id, t.verb,
+                   round(t.score, 4) AS score, t.rank
+            FROM topk t
+            JOIN (SELECT DISTINCT src AS entity_id, dst AS fact_id
+                  FROM edges WHERE edge_type = 'HAS_FACT') g
+              ON g.entity_id = t.entity_id AND g.fact_id = t.fact_id
+            WHERE t.rank <= 3
         """,
         "kg_salted_collect": f"""
             WITH edges AS ({EDGES_SQL})

@@ -151,16 +151,21 @@ def _recall_verified(
     top_k: int,
     min_score: float | None,
     dim: int,
+    query_vec: list[float] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared RAG plan builder: returns (topk candidates, verified facts).
 
-    Single source of truth for the recall semantics — rag_recall and
-    rag_recall_debug both consume it, so they can never drift.
+    Single source of truth for the recall semantics — rag_recall,
+    rag_recall_stored and rag_recall_debug all consume it, so they can
+    never drift. ``query_vec`` bypasses the Python feature-hash embedder
+    with an already-stored vector (the reference's search-by-vector
+    entry, qdrant_repository.py:199-211 — the caller supplies the
+    embedding); with it the whole plan is SQL-expressible.
     """
     ent = find_entity_by_identifier(edges, id_type, id_value)
 
-    qv = embed_text(rag_query, dim)
-    qcol = F.array(*[F.lit(float(x)) for x in qv.tolist()])
+    qv = query_vec if query_vec is not None else embed_text(rag_query, dim).tolist()
+    qcol = F.array(*[F.lit(float(x)) for x in qv])
     v = F.col("vector").cast("array<double>")
     # vectors are L2-normalized at build time -> dot product is cosine.
     # A dim mismatch (query vs stored vectors) must fail loudly, not
@@ -229,6 +234,42 @@ def rag_recall(
     """
     _, verified = _recall_verified(
         edges, facts, embeddings, id_type, id_value, rag_query, top_k, min_score, dim
+    )
+    return verified
+
+
+def rag_recall_stored(
+    edges: DataFrame,
+    facts: DataFrame,
+    embeddings: DataFrame,
+    id_type: str,
+    id_value: str,
+    query_vec: list[float],
+    top_k: int = 10,
+    min_score: float | None = None,
+    dim: int = EMBEDDING_DIM,
+) -> DataFrame:
+    """rag_recall with a caller-supplied STORED query vector.
+
+    Identical plan to rag_recall (same builder — anchor semi-join,
+    entity-restricted dot-product scan, windowed top-k, verification
+    semi-join, projection) minus the Python query embedder: the score is
+    a pure JVM zip_with/aggregate dot product against a literal array,
+    so the entire read path is expressible as ANSI SQL and hash-checked
+    against DuckDB by the driver's oracle harness (the reference's
+    search-by-vector shape, qdrant_repository.py:199-211).
+    """
+    _, verified = _recall_verified(
+        edges,
+        facts,
+        embeddings,
+        id_type,
+        id_value,
+        "",
+        top_k,
+        min_score,
+        dim,
+        query_vec=query_vec,
     )
     return verified
 
