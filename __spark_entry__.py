@@ -550,6 +550,13 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dups via STACKED hyperplane-LSH blocking + exact
+    cosine verification. Fully oracle-checked: the DuckDB SQL is
+    GENERATED from the same seeded plane source
+    (similarity.hyperplane_planes embedded as literals), replicating the
+    bucketing, the max_bucket star-chain, and the verify filter — no
+    blocking-recall assumption needed (a pair the blocking misses is
+    missed identically on both sides)."""
     return embedding_near_dups(_t(spark, sf_dir, "embeddings"), threshold=0.4, n_planes=6)
 
 
@@ -745,13 +752,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_embeddings_build": _q_kg_embeddings,
         "doc_canonical_urls": _q_doc_canonical_urls,
         "kg_rag_recall_stored": _q_kg_rag_recall_stored,
+        "emb_near_dup_lsh": _q_emb_near_dup_lsh,
         # rows-only (non-SQL-expressible: seeded sketches / UDF heuristics /
         # uuid5 point ids)
         "doc_simhash_near_dups": _q_simhash_near_dups,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "kg_pipeline_triples": _q_kg_pipeline,
-        "emb_near_dup_lsh": _q_emb_near_dup_lsh,
         "kg_rag_recall": _q_kg_rag_recall,
         "media_image_features": _q_media_image_features,
     }
@@ -839,6 +846,73 @@ def _build_usage_cost_sql() -> str:
     """
 
 
+def _build_emb_lsh_sql() -> str:
+    """DuckDB mirror of dedup.embedding_near_dups at the entry query's
+    parameters (threshold=0.4, n_planes=6, n_tables=8, seed=42,
+    max_bucket=256, dim=64 — the testdata embeddings width).
+
+    The hyperplanes are GENERATED from the same seeded source the
+    operator uses (similarity.hyperplane_planes) and embedded as DOUBLE[]
+    literals, so operator and oracle can never drift. The SQL replicates
+    the FULL operator — per-table sign-bit bucketing, the max_bucket
+    hot-bucket star-chain (_capped_bucket_pairs), cross-table candidate
+    dedup, and exact cosine verification — so unlike the
+    doc_minhash_near_dups oracle it needs NO blocking-recall assumption:
+    a pair the blocking misses is missed identically on both sides.
+    (Sign bits agree across engines because float->double widening is
+    exact and the testdata projections are nowhere near the 1-ulp
+    boundary where numpy-vs-DuckDB summation order could flip a sign.)
+    """
+    from nous_spark.operators.similarity import hyperplane_planes
+
+    n_planes, n_tables, dim, seed, max_bucket = 6, 8, 64, 42, 256
+    rows = []
+    for t in range(n_tables):
+        planes = hyperplane_planes(n_planes, dim, seed + 7919 * t)
+        for j in range(n_planes):
+            vec = ", ".join(repr(float(x)) for x in planes[j])
+            rows.append(f"({t}, {1 << j}, [{vec}]::DOUBLE[])")
+    values = ",\n              ".join(rows)
+    return f"""
+        WITH planes(tbl, w, p) AS (
+          VALUES {values}
+        ),
+        b AS (
+          SELECT pl.tbl, v.vec_id,
+                 sum(CASE WHEN list_dot_product(v.embedding::DOUBLE[], pl.p) > 0
+                          THEN pl.w ELSE 0 END) AS bucket
+          FROM embeddings v CROSS JOIN planes pl
+          GROUP BY pl.tbl, v.vec_id
+        ),
+        stats AS (
+          SELECT tbl, bucket, count(*) AS n, min(vec_id) AS hub
+          FROM b GROUP BY tbl, bucket
+        ),
+        cands AS (
+          SELECT DISTINCT id_a, id_b FROM (
+            SELECT a.vec_id AS id_a, bb.vec_id AS id_b
+            FROM b a
+            JOIN b bb ON a.tbl = bb.tbl AND a.bucket = bb.bucket
+                     AND a.vec_id < bb.vec_id
+            JOIN stats s ON s.tbl = a.tbl AND s.bucket = a.bucket
+            WHERE s.n <= {max_bucket}
+            UNION ALL
+            SELECT s.hub AS id_a, m.vec_id AS id_b
+            FROM b m JOIN stats s ON s.tbl = m.tbl AND s.bucket = m.bucket
+            WHERE s.n > {max_bucket} AND m.vec_id <> s.hub
+          )
+        )
+        SELECT c.id_a, c.id_b,
+               round(list_cosine_similarity(va.embedding::DOUBLE[],
+                                            vb.embedding::DOUBLE[]), 4) AS cosine
+        FROM cands c
+        JOIN embeddings va ON va.vec_id = c.id_a
+        JOIN embeddings vb ON vb.vec_id = c.id_b
+        WHERE list_cosine_similarity(va.embedding::DOUBLE[],
+                                     vb.embedding::DOUBLE[]) >= 0.4
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     edges_cte = f"WITH edges AS ({EDGES_SQL})"
     return {
@@ -896,6 +970,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events ORDER BY ts DESC, event_id DESC LIMIT 20 OFFSET 10
         """,
         "usage_cost_rollup": _build_usage_cost_sql(),
+        "emb_near_dup_lsh": _build_emb_lsh_sql(),
         "tpch_q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

@@ -229,6 +229,18 @@ def ivf_ann_topk(
     return cosine_topk(cands, query, k, None, id_col, vec_col)
 
 
+def hyperplane_planes(n_planes: int, dim: int, seed: int) -> np.ndarray:
+    """The seeded random hyperplanes, (n_planes, dim) float64.
+
+    Single source of truth for plane generation: hyperplane_buckets,
+    lsh_ann_topk, AND the generated DuckDB oracle for emb_near_dup_lsh
+    (which embeds these exact values as SQL literals) all call this —
+    the oracle can never drift from the operator.
+    """
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
 def hyperplane_buckets(
     vectors: DataFrame,
     n_planes: int = 12,
@@ -254,8 +266,7 @@ def hyperplane_buckets(
             )
             return vectors.sparkSession.createDataFrame([], empty_schema)
         dim = int(first["d"])
-    rng = np.random.RandomState(seed)
-    planes = rng.standard_normal((n_planes, dim))
+    planes = hyperplane_planes(n_planes, dim, seed)
     sc = vectors.sparkSession.sparkContext
     bp = sc.broadcast(planes)
 
@@ -302,8 +313,7 @@ def lsh_ann_topk(
     corpus.
     """
     buckets = hyperplane_buckets(vectors, n_planes, len(query), seed, id_col, vec_col)
-    rng = np.random.RandomState(seed)
-    planes = rng.standard_normal((n_planes, len(query)))
+    planes = hyperplane_planes(n_planes, len(query), seed)
     proj = planes @ np.array(query, dtype=np.float64)
     qbucket = int(((proj > 0) * (1 << np.arange(n_planes))).sum())
     # candidate flip masks ranked by total margin flipped (Lv et al.'s
