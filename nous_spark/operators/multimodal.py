@@ -6,14 +6,16 @@ column; decode / feature-extract / resize / frame-sample are Arrow-batched
 ``mapInPandas`` operators so the heavy bytes never round-trip through
 driver or JVM row objects.
 
-The actual codec step is STUBBED: PIL/librosa/ffmpeg are not in this
-container. Each operator first tries the real library (import-try); when
-absent it either raises ``NotImplementedError`` (``strict=True``) or
-falls back to the deterministic FAKE codec below — a self-describing
-binary format (``synth_media`` generates it) that lets every piece of
-Spark-side plumbing (schema, partitioning, UDF signature, Arrow batch
-shape) be real and tested. Swapping in a real codec changes ONLY the
-``_decode_*_real`` functions.
+Image decode is REAL for BMP (24/32-bit uncompressed, bottom-up and
+top-down) and PPM (P6 binary / P3 ascii): pure-numpy header+pixel
+parsers below, no external codec needed — ``synth_media`` emits genuine
+BMP/PPM payloads alongside the fake format, and ``image_features``
+computes width/height/means/histogram from the actual pixel bytes.
+Compressed formats (JPEG/PNG) still go through an import-try for PIL
+(absent in this container): ``strict=True`` raises
+``NotImplementedError``; otherwise the deterministic FAKE codec keeps
+the Spark-side plumbing (schema, partitioning, UDF signature, Arrow
+batch shape) testable. Audio/video codecs remain stubbed the same way.
 
 Scale notes: media rows are large — keep
 ``spark.sql.files.maxPartitionBytes`` low (128 MB) so a partition of
@@ -82,15 +84,119 @@ def _decode_audio_fake(content: bytes) -> tuple[np.ndarray, int]:
     return rng.standard_normal(n).astype(np.float32), rate
 
 
-def decode_image(content: bytes, strict: bool = False) -> np.ndarray:
-    """Decode an image binary to an (h, w, 3) array.
+# ---------------------------------------------------------------------------
+# REAL decoders: BMP + PPM, pure numpy (no external codec)
+# ---------------------------------------------------------------------------
+def _decode_image_bmp(content: bytes) -> np.ndarray:
+    """Parse an uncompressed 24/32-bit BI_RGB BMP to (h, w, 3) RGB uint8.
 
-    Real path (PIL) when available; otherwise the deterministic fake
-    codec, or ``NotImplementedError`` when ``strict`` and the payload is
-    a real format we cannot decode here.
+    Full header walk: BITMAPFILEHEADER (14 bytes, pixel-data offset at
+    byte 10) + BITMAPINFOHEADER (biWidth, biHeight — negative means
+    top-down, biBitCount, biCompression). Rows are BGR(A), padded to a
+    4-byte boundary, stored bottom-up unless height < 0.
+    """
+    if len(content) < 54 or content[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    px_off = struct.unpack_from("<I", content, 10)[0]
+    hdr_size = struct.unpack_from("<I", content, 14)[0]
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    width, height = struct.unpack_from("<ii", content, 18)
+    planes, bpp = struct.unpack_from("<HH", content, 26)
+    compression = struct.unpack_from("<I", content, 30)[0]
+    if planes != 1 or compression != 0 or bpp not in (24, 32):
+        raise ValueError(
+            f"unsupported BMP (planes={planes}, bpp={bpp}, compression={compression})"
+        )
+    top_down = height < 0
+    height = abs(height)
+    bytes_px = bpp // 8
+    stride = (width * bytes_px + 3) & ~3
+    need = px_off + stride * height
+    if len(content) < need:
+        raise ValueError(f"truncated BMP: {len(content)} < {need} bytes")
+    raw = np.frombuffer(content, dtype=np.uint8, count=stride * height, offset=px_off)
+    rows = raw.reshape(height, stride)[:, : width * bytes_px]
+    px = rows.reshape(height, width, bytes_px)
+    if not top_down:
+        px = px[::-1]
+    return np.ascontiguousarray(px[..., 2::-1])  # BGR(A) -> RGB, alpha dropped
+
+
+def _decode_image_ppm(content: bytes) -> np.ndarray:
+    """Parse a PPM (P6 binary or P3 ascii, maxval <= 255) to (h, w, 3)
+    RGB uint8. Header tokens may be separated by any whitespace and
+    interleaved with '#' comments (the netpbm spec)."""
+    if content[:2] not in (b"P6", b"P3"):
+        raise ValueError("not a PPM payload")
+    binary = content[:2] == b"P6"
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        if pos >= len(content):
+            raise ValueError("truncated PPM header")
+        c = content[pos : pos + 1]
+        if c == b"#":
+            while pos < len(content) and content[pos : pos + 1] != b"\n":
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        else:
+            start = pos
+            while pos < len(content) and not content[pos : pos + 1].isspace():
+                pos += 1
+            tokens.append(int(content[start:pos]))
+    width, height, maxval = tokens
+    if maxval > 255:
+        raise ValueError(f"16-bit PPM unsupported (maxval={maxval})")
+    n = width * height * 3
+    if binary:
+        pos += 1  # exactly one whitespace byte after maxval, per spec
+        if len(content) < pos + n:
+            raise ValueError(f"truncated PPM: {len(content)} < {pos + n} bytes")
+        px = np.frombuffer(content, dtype=np.uint8, count=n, offset=pos)
+    else:
+        vals = content[pos:].split()
+        if len(vals) < n:
+            raise ValueError(f"truncated P3 PPM: {len(vals)} < {n} samples")
+        px = np.array([int(v) for v in vals[:n]], dtype=np.uint8)
+    return px.reshape(height, width, 3)
+
+
+def _encode_bmp(px: np.ndarray) -> bytes:
+    """Encode (h, w, 3) RGB uint8 as a 24-bit bottom-up BMP — used by
+    synth_media and tests to produce REAL image payloads."""
+    h, w = px.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, RGB->BGR
+    data = rows.tobytes()
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    )
+    return header + data
+
+
+def _encode_ppm(px: np.ndarray) -> bytes:
+    """Encode (h, w, 3) RGB uint8 as binary P6 PPM."""
+    h, w = px.shape[:2]
+    return f"P6\n{w} {h}\n255\n".encode() + px.astype(np.uint8).tobytes()
+
+
+def decode_image(content: bytes, strict: bool = False) -> np.ndarray:
+    """Decode an image binary to an (h, w, 3) RGB uint8 array.
+
+    BMP and PPM decode FOR REAL (pure numpy, above); the deterministic
+    fake codec handles FIMG; anything else (JPEG/PNG/...) needs PIL —
+    ``NotImplementedError`` under ``strict`` when it is absent.
     """
     if content.startswith(_IMG_MAGIC):
         return _decode_image_fake(content)
+    if content[:2] == b"BM":
+        return _decode_image_bmp(content)
+    if content[:2] in (b"P6", b"P3"):
+        return _decode_image_ppm(content)
     try:
         from PIL import Image  # noqa: F401  (absent in this container)
         import io
@@ -107,38 +213,53 @@ def decode_image(content: bytes, strict: bool = False) -> np.ndarray:
 # ---------------------------------------------------------------------------
 # synthetic media table
 # ---------------------------------------------------------------------------
+def synth_media_row(i: int, seed: int = 42) -> dict:
+    """One deterministic media row for index ``i`` — the single source of
+    truth for synth_media's generation, shared with the generated
+    media_image_features DuckDB oracle (__spark_entry__) so the Spark
+    table and the oracle's expected values can never drift."""
+    rng = np.random.RandomState((seed << 16) ^ i)
+    kind = ("image", "audio", "video")[i % 3]
+    if kind == "image":
+        w, h = 16 + rng.randint(0, 48), 16 + rng.randint(0, 48)
+        fmt = ("bmp", "ppm", "fimg")[(i // 3) % 3]
+        if fmt == "bmp":
+            content = _encode_bmp(rng.randint(0, 256, (h, w, 3), dtype=np.uint8))
+        elif fmt == "ppm":
+            content = _encode_ppm(rng.randint(0, 256, (h, w, 3), dtype=np.uint8))
+        else:
+            content = _fake_image_bytes(i, w, h)
+        meta = {"width": str(w), "height": str(h), "format": fmt}
+    elif kind == "audio":
+        ns, rate = 1000 + rng.randint(0, 8000), 16000
+        content = _fake_audio_bytes(i, ns, rate)
+        meta = {"n_samples": str(ns), "rate": str(rate), "format": "faud"}
+    else:
+        nf, w, h = 4 + rng.randint(0, 12), 32, 24
+        content = _fake_video_bytes(i, nf, w, h)
+        meta = {"n_frames": str(nf), "width": str(w), "height": str(h), "format": "fvid"}
+    return {
+        "media_id": i,
+        "url": f"https://example.org/media/{i:08d}",
+        "media_type": kind,
+        "content": content,
+        "meta": meta,
+    }
+
+
 def synth_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     """Deterministic media table: round-robin image/audio/video rows with
-    sizes derived from (index, seed). Distributed generation via range."""
+    sizes derived from (index, seed). Distributed generation via range.
+
+    Image rows cycle through REAL formats — BMP (24-bit), P6 PPM — and
+    the fake FIMG header, all carrying deterministically generated
+    pixels, so image operators downstream exercise the real decoders on
+    genuine byte layouts (row padding, bottom-up order, header walks),
+    not just the stub."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for i in pdf["id"]:
-                i = int(i)
-                rng = np.random.RandomState((seed << 16) ^ i)
-                kind = ("image", "audio", "video")[i % 3]
-                if kind == "image":
-                    w, h = 16 + rng.randint(0, 48), 16 + rng.randint(0, 48)
-                    content = _fake_image_bytes(i, w, h)
-                    meta = {"width": str(w), "height": str(h), "format": "fimg"}
-                elif kind == "audio":
-                    ns, rate = 1000 + rng.randint(0, 8000), 16000
-                    content = _fake_audio_bytes(i, ns, rate)
-                    meta = {"n_samples": str(ns), "rate": str(rate), "format": "faud"}
-                else:
-                    nf, w, h = 4 + rng.randint(0, 12), 32, 24
-                    content = _fake_video_bytes(i, nf, w, h)
-                    meta = {"n_frames": str(nf), "width": str(w), "height": str(h), "format": "fvid"}
-                rows.append(
-                    {
-                        "media_id": i,
-                        "url": f"https://example.org/media/{i:08d}",
-                        "media_type": kind,
-                        "content": content,
-                        "meta": meta,
-                    }
-                )
+            rows = [synth_media_row(int(i), seed) for i in pdf["id"]]
             yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
 
     par = spark.sparkContext.defaultParallelism
@@ -153,31 +274,34 @@ IMAGE_FEATURES_SCHEMA = (
 )
 
 
+def image_feature_stats(content: bytes, n_hist: int = 8) -> tuple[int, int, list[float]]:
+    """Pure per-image feature math: (width, height, [mean_r, mean_g,
+    mean_b, std_gray, hist_0..hist_{n-1}]) — shared by the Spark
+    operator and the generated oracle's expected-value computation."""
+    px = decode_image(content)
+    gray = px.mean(axis=2)
+    hist, _ = np.histogram(gray, bins=n_hist, range=(0, 256))
+    hist = hist / max(1, gray.size)
+    feats = (
+        [float(px[..., c].mean()) for c in range(3)]
+        + [float(gray.std())]
+        + [float(x) for x in hist]
+    )
+    return int(px.shape[1]), int(px.shape[0]), feats
+
+
 def image_features(media: DataFrame, n_hist: int = 8) -> DataFrame:
-    """Per-image features: (width, height, [mean_r, mean_g, mean_b,
-    std_gray, hist_0..hist_{n-1}]). Decode happens inside the executor
-    batch loop; only the small feature vector is returned."""
+    """Per-image features via ``image_feature_stats``. Decode happens
+    inside the executor batch loop; only the small feature vector is
+    returned."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                px = decode_image(bytes(content))
-                gray = px.mean(axis=2)
-                hist, _ = np.histogram(gray, bins=n_hist, range=(0, 256))
-                hist = hist / max(1, gray.size)
-                feats = (
-                    [float(px[..., c].mean()) for c in range(3)]
-                    + [float(gray.std())]
-                    + [float(x) for x in hist]
-                )
+                w, h, feats = image_feature_stats(bytes(content), n_hist)
                 out.append(
-                    {
-                        "media_id": int(mid),
-                        "width": int(px.shape[1]),
-                        "height": int(px.shape[0]),
-                        "features": feats,
-                    }
+                    {"media_id": int(mid), "width": w, "height": h, "features": feats}
                 )
             yield pd.DataFrame(out, columns=["media_id", "width", "height", "features"])
 
@@ -189,22 +313,37 @@ def image_features(media: DataFrame, n_hist: int = 8) -> DataFrame:
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """'Resize' images: decode -> nearest-neighbor subsample -> re-encode.
+    """Resize images FOR REAL: decode -> nearest-neighbor resample ->
+    re-encode as 24-bit BMP (binary in, binary out, meta updated).
 
-    With the fake codec the re-encode just rewrites the header (pixels
-    are seed-derived); the plumbing — binary in, binary out, meta
-    updated — is exactly what a PIL-backed version would do.
+    Nearest-neighbor in pure numpy (index sampling) — works identically
+    for real BMP/PPM payloads and the fake codec's seed-derived pixels.
     """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf.copy()
             contents, metas = [], []
-            for mid, content, meta in zip(pdf["media_id"], pdf["content"], pdf["meta"]):
-                decode_image(bytes(content))  # validates payload
-                contents.append(_fake_image_bytes(int(mid), width, height))
+            for content, meta in zip(pdf["content"], pdf["meta"]):
+                px = decode_image(bytes(content))
+                ri = np.minimum(
+                    (np.arange(height) * px.shape[0] / height).astype(int),
+                    px.shape[0] - 1,
+                )
+                ci = np.minimum(
+                    (np.arange(width) * px.shape[1] / width).astype(int),
+                    px.shape[1] - 1,
+                )
+                contents.append(_encode_bmp(px[np.ix_(ri, ci)]))
                 m = dict(meta or {})
-                m.update({"width": str(width), "height": str(height), "resized": "true"})
+                m.update(
+                    {
+                        "width": str(width),
+                        "height": str(height),
+                        "resized": "true",
+                        "format": "bmp",
+                    }
+                )
                 metas.append(m)
             out["content"] = contents
             out["meta"] = metas

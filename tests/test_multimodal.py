@@ -1,15 +1,21 @@
-"""Multimodal plumbing tests: binary columns + typed metadata flow
-through Arrow-batched mapInPandas operators with stable schemas and
-deterministic (fake-codec) results. The codec itself is a stub — these
-tests pin the Spark-side contract a real PIL/ffmpeg swap-in must keep."""
+"""Multimodal tests: binary columns + typed metadata flow through
+Arrow-batched mapInPandas operators with stable schemas and
+deterministic results. Image decode is REAL for BMP/PPM (pure-numpy
+parsers, exercised on handcrafted byte layouts below); audio/video
+codecs remain stubs and these tests pin the Spark-side contract a real
+PIL/ffmpeg swap-in must keep."""
 
 from __future__ import annotations
+
+import struct
 
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
 from nous_spark.operators.multimodal import (
+    _encode_bmp,
+    _encode_ppm,
     audio_features,
     decode_image,
     image_features,
@@ -30,9 +36,13 @@ def test_media_table_shape(media):
     assert media.count() == N
     kinds = {r["media_type"] for r in media.select("media_type").distinct().collect()}
     assert kinds == {"image", "audio", "video"}
-    row = media.filter(F.col("media_type") == "image").first()
-    assert isinstance(row["content"], (bytes, bytearray))
-    assert row["meta"]["format"] == "fimg"
+    rows = media.filter(F.col("media_type") == "image").collect()
+    assert all(isinstance(r["content"], (bytes, bytearray)) for r in rows)
+    # image rows cycle through REAL formats + the fake header
+    assert {r["meta"]["format"] for r in rows} == {"bmp", "ppm", "fimg"}
+    for r in rows:
+        magic = bytes(r["content"])[:2]
+        assert magic == {"bmp": b"BM", "ppm": b"P6", "fimg": b"FI"}[r["meta"]["format"]]
 
 
 def test_decode_image_matches_meta_and_is_deterministic(media):
@@ -47,6 +57,88 @@ def test_decode_image_matches_meta_and_is_deterministic(media):
 def test_decode_strict_raises_not_implemented():
     with pytest.raises((NotImplementedError, ValueError)):
         decode_image(b"\x89PNG\r\n\x1a\nxxxx", strict=True)
+
+
+# -------------------------------------------------------------------------
+# REAL decoders: handcrafted byte layouts, not round trips of our encoder
+# -------------------------------------------------------------------------
+PX_3x2 = np.array(  # w=3 forces BMP row padding (9 -> 12 bytes)
+    [
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255]],
+        [[10, 20, 30], [40, 50, 60], [70, 80, 90]],
+    ],
+    dtype=np.uint8,
+)
+
+
+def _handcraft_bmp(px: np.ndarray, bpp: int = 24, top_down: bool = False) -> bytes:
+    """Independent BMP writer (bottom-up unless top_down, BGR(A), padded
+    rows) so the decoder is tested against the SPEC, not _encode_bmp."""
+    h, w = px.shape[:2]
+    n = bpp // 8
+    stride = (w * n + 3) & ~3
+    body = b""
+    rows = range(h) if top_down else range(h - 1, -1, -1)
+    for r in rows:
+        row = b""
+        for c in range(w):
+            bgr = bytes([px[r, c, 2], px[r, c, 1], px[r, c, 0]])
+            row += bgr + (b"\xff" if n == 4 else b"")
+        body += row + b"\x00" * (stride - len(row))
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, (-h if top_down else h), 1, bpp, 0, len(body), 0, 0, 0, 0
+    )
+    return b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54) + info + body
+
+
+def test_decode_bmp_24bit_bottom_up_padded():
+    assert np.array_equal(decode_image(_handcraft_bmp(PX_3x2)), PX_3x2)
+
+
+def test_decode_bmp_top_down_and_32bit():
+    assert np.array_equal(decode_image(_handcraft_bmp(PX_3x2, top_down=True)), PX_3x2)
+    assert np.array_equal(decode_image(_handcraft_bmp(PX_3x2, bpp=32)), PX_3x2)
+
+
+def test_decode_bmp_truncated_and_compressed_rejected():
+    good = _handcraft_bmp(PX_3x2)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_image(good[:-4])
+    rle = bytearray(good)
+    rle[30] = 1  # biCompression = BI_RLE8
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_image(bytes(rle))
+
+
+def test_decode_ppm_p6_with_comments_and_p3():
+    p6 = b"P6\n# a comment\n3 # inline\n2\n255\n" + PX_3x2.tobytes()
+    assert np.array_equal(decode_image(p6), PX_3x2)
+    p3 = ("P3\n3 2\n255\n" + " ".join(str(v) for v in PX_3x2.flatten())).encode()
+    assert np.array_equal(decode_image(p3), PX_3x2)
+
+
+def test_encoders_round_trip():
+    assert np.array_equal(decode_image(_encode_bmp(PX_3x2)), PX_3x2)
+    assert np.array_equal(decode_image(_encode_ppm(PX_3x2)), PX_3x2)
+
+
+def test_image_features_come_from_real_pixels(media):
+    """The Spark operator's features for a BMP row must equal stats of
+    the ACTUAL decoded pixels (not the fake-codec fallback)."""
+    row = next(
+        r
+        for r in media.filter(F.col("media_type") == "image").collect()
+        if r["meta"]["format"] == "bmp"
+    )
+    px = decode_image(bytes(row["content"]))
+    feats = (
+        image_features(media, n_hist=8)
+        .filter(F.col("media_id") == row["media_id"])
+        .first()
+    )
+    assert feats["width"] == px.shape[1] and feats["height"] == px.shape[0]
+    for c in range(3):
+        assert feats["features"][c] == pytest.approx(float(px[..., c].mean()), rel=1e-6)
 
 
 def test_image_features_schema_and_values(media):
