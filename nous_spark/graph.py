@@ -521,34 +521,72 @@ def delete_entity(tables: dict[str, DataFrame], entity_id: str) -> dict[str, Dat
     }
 
 
+def remove_facts_from_entities(
+    tables: dict[str, DataFrame], removals: DataFrame
+) -> dict[str, DataFrame]:
+    """BATCH form of the all-verbs fact removal (age_repository.py:
+    877-1009): ``removals`` is a DataFrame of (entity_id, fact_id) pairs;
+    every HAS_FACT edge matching a pair is dropped regardless of verb,
+    then any removed fact left with ZERO remaining HAS_FACT references
+    (from any entity) cascades — its DERIVED_FROM provenance edges and
+    facts row go too, and sources orphaned by that go last.
+
+    Fully declarative: one anti-join for the edge drops + one anti-join
+    against the still-referenced set for orphanhood — ZERO driver
+    actions, so a GC sweep of 10^6 removals costs the same number of
+    Spark jobs as one (the scalar wrapper below ran limit(1).count()
+    PER pair, serializing one driver job per fact at sweep scale).
+    Sequential scalar application commutes with batch: each scalar call
+    re-derives orphanhood from current state, so removing the pairs in
+    any order ends at the same fixed point the batch form computes
+    directly (pytest-checked on a shared-fact corpus).
+    """
+    edges, facts, sources = tables["edges"], tables["facts"], tables["sources"]
+    rm = removals.select("entity_id", "fact_id").dropDuplicates(
+        ["entity_id", "fact_id"]
+    )
+
+    new_edges = edges.join(
+        rm,
+        (F.col("edge_type") == HAS_FACT)
+        & (edges["src"] == rm["entity_id"])
+        & (edges["dst"] == rm["fact_id"]),
+        "left_anti",
+    )
+    # orphaned = removed facts with no surviving HAS_FACT edge anywhere
+    orphaned = (
+        rm.select("fact_id")
+        .dropDuplicates(["fact_id"])
+        .join(
+            new_edges.filter(F.col("edge_type") == HAS_FACT).select(
+                F.col("dst").alias("fact_id")
+            ),
+            "fact_id",
+            "left_anti",
+        )
+    )
+    new_edges = new_edges.join(
+        orphaned,
+        (F.col("edge_type") == DERIVED_FROM) & (new_edges["src"] == orphaned["fact_id"]),
+        "left_anti",
+    )
+    new_facts = facts.join(orphaned, "fact_id", "left_anti")
+    live_sources = new_edges.filter(F.col("edge_type") == DERIVED_FROM).select(
+        F.col("dst").alias("source_id")
+    )
+    new_sources = sources.join(live_sources, "source_id", "left_semi")
+    return {**tables, "edges": new_edges, "facts": new_facts, "sources": new_sources}
+
+
 def remove_fact_from_entity(
     tables: dict[str, DataFrame], entity_id: str, fid: str
 ) -> dict[str, DataFrame]:
     """Remove ALL HAS_FACT edges entity<->fact regardless of verb
     (age_repository.py:877-1009; all-verbs test :758-816), cascading the
-    fact + its provenance if orphaned."""
-    edges, facts, sources = tables["edges"], tables["facts"], tables["sources"]
-
-    new_edges = edges.filter(
-        ~(
-            (F.col("edge_type") == HAS_FACT)
-            & (F.col("src") == entity_id)
-            & (F.col("dst") == fid)
-        )
+    fact + its provenance if orphaned. Scalar wrapper over the batch
+    form — single-pair removals frame, no driver action."""
+    spark = tables["edges"].sparkSession
+    rm = spark.createDataFrame(
+        [(entity_id, fid)], "entity_id string, fact_id string"
     )
-    still_referenced = (
-        new_edges.filter((F.col("edge_type") == HAS_FACT) & (F.col("dst") == fid))
-        .limit(1)
-        .count()
-        > 0
-    )
-    if not still_referenced:
-        new_edges = new_edges.filter(
-            ~((F.col("edge_type") == DERIVED_FROM) & (F.col("src") == fid))
-        )
-        facts = facts.filter(F.col("fact_id") != fid)
-    live_sources = new_edges.filter(F.col("edge_type") == DERIVED_FROM).select(
-        F.col("dst").alias("source_id")
-    )
-    sources = sources.join(live_sources, "source_id", "left_semi")
-    return {**tables, "edges": new_edges, "facts": facts, "sources": sources}
+    return remove_facts_from_entities(tables, rm)

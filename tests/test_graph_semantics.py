@@ -167,6 +167,34 @@ def test_remove_shared_fact_keeps_fact_for_other_entity(spark, fixture_tables):
     assert {r["src"] for r in left} == {"eB"}
 
 
+def test_remove_facts_batch_equals_sequential_and_is_lazy(spark, fixture_tables):
+    """Batch H4: one removals frame == chained scalar calls (either
+    order), and building the batch result runs ZERO Spark jobs — the
+    job count of a GC sweep is independent of the number of removals."""
+    from nous_spark.graph import remove_facts_from_entities
+
+    pairs = [("eA", "Location:Paris"), ("eA", "Hobby:Hiking")]
+    rm = spark.createDataFrame(pairs, "entity_id string, fact_id string")
+
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None))
+    batch = remove_facts_from_entities(fixture_tables, rm)
+    assert set(tracker.getJobIdsForGroup(None)) == before  # fully lazy
+
+    for order in (pairs, pairs[::-1]):
+        seq = fixture_tables
+        for e, f in order:
+            seq = remove_fact_from_entity(seq, e, f)
+        for t in ("edges", "facts", "sources"):
+            key = [c for c in batch[t].columns]
+            b = sorted(map(tuple, batch[t].select(*key).collect()))
+            s = sorted(map(tuple, seq[t].select(*key).collect()))
+            assert b == s, (t, b, s)
+    # shared fact survives (eB still asserts it); private fact cascaded
+    assert {r["fact_id"] for r in batch["facts"].collect()} == {"Hobby:Hiking"}
+    assert {r["source_id"] for r in batch["sources"].collect()} == {"urlS"}
+
+
 def test_expand_hops_min_depth_and_frontier(spark, fixture_tables):
     """1 hop from A reaches B (shared Hobby:Hiking); 0 hops is just A;
     depth is the minimum per entity."""
