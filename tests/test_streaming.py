@@ -137,6 +137,68 @@ def test_stateful_running_fact_counts(spark, tmp_path):
     assert ("eA", 3, 1) in rows  # cross-micro-batch state
 
 
+def test_fact_state_bounded_at_hot_entity_scale():
+    """10^4 facts on ONE entity: state promotes from exact set to the
+    fixed 16 KiB Bloom, stays byte-bounded forever after, keeps the
+    no-false-negative replay contract, and counts within 1%."""
+    from nous_spark.streaming import _BLOOM_BITS, _update_fact_state
+
+    state, total_new = None, 0
+    for batch in range(100):  # 100 micro-batches x 100 facts
+        fids = [f"fact:{batch:03d}:{i:03d}" for i in range(100)]
+        state, n_new = _update_fact_state(state, fids)
+        total_new += n_new
+    fact_ids, bloom, n_total = state
+    assert fact_ids is None and bloom is not None  # sketch mode engaged
+    assert len(bloom) == _BLOOM_BITS // 8  # exactly 16 KiB, not O(facts)
+    assert n_total == total_new
+    assert abs(n_total - 10_000) <= 100  # <=1% bloom-FP undercount
+    # replaying EVERY fact counts zero new (bloom: no false negatives)
+    replay = [f"fact:{b:03d}:{i:03d}" for b in range(100) for i in range(100)]
+    state2, n_new2 = _update_fact_state(state, replay)
+    assert n_new2 == 0 and state2[2] == n_total
+
+
+def test_stateful_counts_bloom_mode_end_to_end(spark, tmp_path):
+    """The promoted (Bloom) state round-trips through the streaming
+    state store: two micro-batches on a hot entity with max_exact=8."""
+    import time as _time
+
+    from nous_spark.streaming import running_entity_fact_counts
+
+    src = str(tmp_path / "hot_triples")
+    spark.createDataFrame(
+        [("eH", f"f{i}") for i in range(50)], "entity_id string, fact_id string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.1)
+    spark.createDataFrame(  # 25 replayed + 25 fresh
+        [("eH", f"f{i}") for i in range(25, 75)],
+        "entity_id string, fact_id string",
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("entity_id string, fact_id string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        running_entity_fact_counts(stream, max_exact=8)
+        .writeStream.format("memory")
+        .queryName("bloom_state_q")
+        .option("checkpointLocation", str(tmp_path / "cp_bloom"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {
+        (r["n_total"], r["n_new"])
+        for r in spark.sql("select * from bloom_state_q").collect()
+    }
+    assert (50, 50) in rows  # batch 1 (promotion mid-batch)
+    assert (75, 25) in rows  # batch 2: bloom state survived the store
+
+
 def test_streaming_embeddings_mirror(spark, dirs):
     """Incremental vector mirror: exactly-once on replay (H5 analog)."""
     _write_pages(spark, dirs, 0, 20)
