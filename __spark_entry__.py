@@ -29,6 +29,7 @@ from nous_spark.operators.dedup import (
     exact_dedup,
     minhash_verified_near_dups,
     ngram_jaccard_pairs,
+    simhash_fingerprints_md5,
     simhash_near_dups,
 )
 from nous_spark.operators.multimodal import image_features, synth_media
@@ -528,6 +529,20 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), k=3, threshold=0.3)
 
 
+def _q_simhash_md5_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups with the CROSS-ENGINE md5 32-bit fingerprint
+    (dedup.simhash_fingerprints_md5): the whole pipeline — per-word hash,
+    bit votes, pigeonhole chunk blocking with the hot-bucket star-chain,
+    hamming verify — is replicated verbatim in the generated DuckDB
+    oracle, so SimHash semantics get a hash-matched correctness gate
+    (the 64-bit xxhash64 variant stays the scale path, rows-only)."""
+    docs = _t(spark, sf_dir, "documents")
+    fps = simhash_fingerprints_md5(docs, seed=42)
+    return simhash_near_dups(
+        docs, max_hamming=3, fingerprints=fps, n_bits=32
+    )
+
+
 # ----------------------------- non-SQL-expressible (rows-only check) -------
 def _q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dups(_t(spark, sf_dir, "documents"), max_hamming=8)
@@ -681,16 +696,22 @@ def _q_ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: synthetic binary media -> Arrow-batched
-    feature extraction (decode stubbed; deterministic)."""
+    """Multimodal: synthetic binary media (REAL BMP/PPM payloads + the
+    fake format) -> Arrow-batched feature extraction with genuine
+    pure-numpy decode. Oracle-checked via the doc_canonical_urls
+    pattern: inputs are FIXED and deterministic, so the generated
+    oracle pins the expected (width, height, mean_r, std_gray) VALUES,
+    computed from the SAME synth_media_row + image_feature_stats pure
+    functions the Spark operators run (cast to double before round —
+    float32 round keeps float32 precision and would diverge)."""
     media = synth_media(spark, 300, seed=42)
     feats = image_features(media, n_hist=8)
     return feats.select(
         "media_id",
         "width",
         "height",
-        F.round(F.element_at("features", 1), 4).alias("mean_r"),
-        F.round(F.element_at("features", 4), 4).alias("std_gray"),
+        F.round(F.element_at("features", 1).cast("double"), 4).alias("mean_r"),
+        F.round(F.element_at("features", 4).cast("double"), 4).alias("std_gray"),
     )
 
 
@@ -753,6 +774,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_canonical_urls": _q_doc_canonical_urls,
         "kg_rag_recall_stored": _q_kg_rag_recall_stored,
         "emb_near_dup_lsh": _q_emb_near_dup_lsh,
+        "doc_simhash_md5_near_dups": _q_simhash_md5_near_dups,
+        "media_image_features": _q_media_image_features,
         # rows-only (non-SQL-expressible: seeded sketches / UDF heuristics /
         # uuid5 point ids)
         "doc_simhash_near_dups": _q_simhash_near_dups,
@@ -760,7 +783,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "kg_pipeline_triples": _q_kg_pipeline,
         "kg_rag_recall": _q_kg_rag_recall,
-        "media_image_features": _q_media_image_features,
     }
 
 
@@ -913,6 +935,163 @@ def _build_emb_lsh_sql() -> str:
     """
 
 
+def _build_pipeline_triples_sql() -> str:
+    """DuckDB oracle for kg_pipeline_triples: a SEQUENTIAL pure-Python
+    reference run of the whole extraction pipeline over the same fixed
+    synthetic corpus (datagen.gen_row i=0..999, seed 42), pinned as a
+    VALUES spec. Exercises the real check that matters for a distributed
+    engine: the Spark path (mapInPandas extraction, exploded joins, the
+    canonical-mapping join in stage_link) must reproduce the sequential
+    reference EXACTLY — every page processed exactly once, every triple
+    attached to the right uuid5 entity. Shares the pure functions
+    (extract_text_str / extract_mentions_text / extract_triples_text /
+    entity_id_for / fact_id) with the Spark stages, so the rule set
+    cannot drift; what is independently exercised is the distribution."""
+    from nous_spark.datagen import gen_row
+    from nous_spark.extraction.html import extract_text_str
+    from nous_spark.extraction.mentions import extract_mentions_text
+    from nous_spark.extraction.triples import extract_triples_text
+    from nous_spark.normalize import entity_id_for, fact_id
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    rows = []
+    for i in range(1000):
+        page, _ = gen_row(i, seed=42)
+        text = extract_text_str(page["html"])
+        mentions = extract_mentions_text(text)
+        if not mentions:
+            continue
+        eid = entity_id_for(mentions[0][0], mentions[0][1])
+        for pred, ftype, fname, conf in extract_triples_text(text):
+            rows.append(
+                f"('{eid}', '{q(pred)}', '{q(fact_id(ftype, fname))}', "
+                f"{conf!r}, '{q(page['url'])}')"
+            )
+    values = ",\n              ".join(rows)
+    return f"""
+        SELECT entity_id, pred, fact_id, confidence::DOUBLE AS confidence,
+               source_url
+        FROM (VALUES {values})
+             t(entity_id, pred, fact_id, confidence, source_url)
+    """
+
+
+def _build_media_features_sql() -> str:
+    """DuckDB oracle for media_image_features, generated by running the
+    SAME pure functions the Spark operators execute (multimodal.
+    synth_media_row -> image_feature_stats) driver-side over the fixed
+    synthetic inputs and pinning the expected rows as a VALUES spec —
+    the doc_canonical_urls pattern. Checks that the distributed
+    mapInPandas path (Arrow binary transfer, batching, float32 feature
+    storage) reproduces the sequential pure-Python reference exactly.
+    Rounding parity: values pass through float32 (the stored feature
+    type) then half-up 4-decimal rounding via Decimal(repr(x)) — the
+    same decimal Spark's round(BigDecimal.valueOf(double)) sees."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from nous_spark.operators.multimodal import (
+        image_feature_stats,
+        synth_media_row,
+    )
+
+    import numpy as np
+
+    def r4(v: float) -> Decimal:
+        return Decimal(repr(float(np.float32(v)))).quantize(
+            Decimal("0.0001"), ROUND_HALF_UP
+        )
+
+    rows = []
+    for i in range(0, 300, 3):  # media_type cycle: i % 3 == 0 -> image
+        r = synth_media_row(i, seed=42)
+        w, h, feats = image_feature_stats(r["content"], n_hist=8)
+        rows.append(f"({i}, {w}, {h}, {r4(feats[0])}, {r4(feats[3])})")
+    values = ",\n              ".join(rows)
+    return f"""
+        SELECT media_id, width, height,
+               mean_r::DOUBLE AS mean_r, std_gray::DOUBLE AS std_gray
+        FROM (VALUES {values})
+             t(media_id, width, height, mean_r, std_gray)
+    """
+
+
+def _build_simhash_md5_sql() -> str:
+    """DuckDB full replica of the doc_simhash_md5_near_dups pipeline at
+    the entry query's parameters (seed=42, n_bits=32, max_hamming=3 ->
+    4 x 8-bit pigeonhole chunks, max_bucket=256).
+
+    Shares the md5-hex hash currency with dedup.simhash_fingerprints_md5
+    (Spark: conv(substr(md5(w||':42'),1,8),16,10); DuckDB: ('0x' ||
+    substr(md5(w||':42'),1,8))::BIGINT — identical 32-bit values), then
+    replicates bit votes, fingerprint assembly, chunk blocking with the
+    _capped_bucket_pairs star-chain, and the bit_count(xor) hamming
+    verify. No recall assumption: blocking behaves identically on both
+    sides by construction."""
+    seed, n_bits, max_hamming, max_bucket = 42, 32, 3, 256
+    n_chunks = max_hamming + 1
+    width = n_bits // n_chunks
+    mask = (1 << width) - 1
+    chunk_rows = ", ".join(f"({i}, {i * width})" for i in range(n_chunks))
+    fp_terms = "\n               + ".join(
+        f"CASE WHEN 2 * len(list_filter(hs, h -> ((h >> {j}) & 1) = 1)) - len(hs) > 0"
+        f" THEN {1 << j} ELSE 0 END"
+        for j in range(n_bits)
+    )
+    return f"""
+        WITH wt AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\\s+'), w -> w != '') AS ws
+          FROM documents
+        ),
+        h AS (
+          SELECT doc_id,
+                 list_transform(
+                   ws, w -> ('0x' || substr(md5(w || ':{seed}'), 1, 8))::BIGINT
+                 ) AS hs
+          FROM wt
+        ),
+        fp AS (
+          SELECT doc_id,
+                 CASE WHEN len(hs) = 0 THEN 0 ELSE
+               {fp_terms}
+                 END AS simhash
+          FROM h
+        ),
+        chunks AS (
+          SELECT f.doc_id, c.chunk_idx, (f.simhash >> c.off) & {mask} AS chunk_val
+          FROM fp f CROSS JOIN (VALUES {chunk_rows}) c(chunk_idx, off)
+        ),
+        stats AS (
+          SELECT chunk_idx, chunk_val, count(*) AS n, min(doc_id) AS hub
+          FROM chunks GROUP BY chunk_idx, chunk_val
+        ),
+        cands AS (
+          SELECT DISTINCT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM chunks a
+            JOIN chunks b ON a.chunk_idx = b.chunk_idx
+                         AND a.chunk_val = b.chunk_val
+                         AND a.doc_id < b.doc_id
+            JOIN stats s ON s.chunk_idx = a.chunk_idx AND s.chunk_val = a.chunk_val
+            WHERE s.n <= {max_bucket}
+            UNION ALL
+            SELECT s.hub AS id_a, m.doc_id AS id_b
+            FROM chunks m
+            JOIN stats s ON s.chunk_idx = m.chunk_idx AND s.chunk_val = m.chunk_val
+            WHERE s.n > {max_bucket} AND m.doc_id <> s.hub
+          )
+        )
+        SELECT c.id_a, c.id_b,
+               bit_count(xor(fa.simhash, fb.simhash))::BIGINT AS hamming
+        FROM cands c
+        JOIN fp fa ON fa.doc_id = c.id_a
+        JOIN fp fb ON fb.doc_id = c.id_b
+        WHERE bit_count(xor(fa.simhash, fb.simhash)) <= {max_hamming}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     edges_cte = f"WITH edges AS ({EDGES_SQL})"
     return {
@@ -971,6 +1150,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "usage_cost_rollup": _build_usage_cost_sql(),
         "emb_near_dup_lsh": _build_emb_lsh_sql(),
+        "doc_simhash_md5_near_dups": _build_simhash_md5_sql(),
+        "media_image_features": _build_media_features_sql(),
+        "kg_pipeline_triples": _build_pipeline_triples_sql(),
         "tpch_q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

@@ -396,21 +396,12 @@ def simhash_fingerprints(
     return docs.select(id_col, text_col).mapInPandas(gen, f"{id_col} long, simhash long")
 
 
-def simhash_fingerprints_jvm(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    seed: int = 42,
-) -> DataFrame:
-    """JVM-only SimHash variant (no Python workers): per word,
-    xxhash64(word, seed) contributes +-1 to each of 64 bit counters (one
-    `aggregate` over the words array with an array accumulator); the
-    fingerprint sets bit j where counter j > 0. Different hash family
-    than the default — not bit-identical, same blocking semantics.
-    """
-    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
-    hashes = F.transform(words, lambda w: F.xxhash64(w, F.lit(seed)))
-    zero = F.array_repeat(F.lit(0).cast("long"), 64)
+def _simhash_fp_col(words, hashes, n_bits: int):
+    """SimHash fingerprint Column from a word array + per-word hash
+    array: each hash votes +-1 on ``n_bits`` bit counters (one
+    `aggregate` with an array accumulator); the fingerprint sets bit j
+    where counter j > 0; empty word list -> 0."""
+    zero = F.array_repeat(F.lit(0).cast("long"), n_bits)
 
     def bits_pm1(h):
         return F.array(
@@ -418,7 +409,7 @@ def simhash_fingerprints_jvm(
                 (
                     F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1)) * 2 - 1
                 ).cast("long")
-                for j in range(64)
+                for j in range(n_bits)
             ]
         )
 
@@ -431,7 +422,7 @@ def simhash_fingerprints_jvm(
     bitvals = F.array(
         *[
             F.lit((1 << j) if j < 63 else -(1 << 63)).cast("long")
-            for j in range(64)
+            for j in range(n_bits)
         ]
     )
     fp = F.aggregate(
@@ -443,9 +434,60 @@ def simhash_fingerprints_jvm(
         F.lit(0).cast("long"),
         lambda acc, x: acc.bitwiseOR(x),
     )
+    return F.when(F.size(words) == 0, F.lit(0).cast("long")).otherwise(fp)
+
+
+def simhash_fingerprints_jvm(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+) -> DataFrame:
+    """JVM-only SimHash variant (no Python workers): per word,
+    xxhash64(word, seed) contributes +-1 to each of 64 bit counters; the
+    fingerprint sets bit j where counter j > 0. Different hash family
+    than the default — not bit-identical, same blocking semantics.
+    This is the SCALE path (xxhash64 is the cheap JVM hash); the md5
+    variant below trades hash cost for cross-engine checkability.
+    """
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    hashes = F.transform(words, lambda w: F.xxhash64(w, F.lit(seed)))
     return docs.select(
-        F.col(id_col),
-        F.when(F.size(words) == 0, F.lit(0).cast("long")).otherwise(fp).alias("simhash"),
+        F.col(id_col), _simhash_fp_col(words, hashes, 64).alias("simhash")
+    )
+
+
+def simhash_fingerprints_md5(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+    n_bits: int = 32,
+) -> DataFrame:
+    """Cross-engine SimHash: the per-word hash is the first 8 hex chars
+    of md5(word ':' seed) — computable IDENTICALLY in DuckDB as
+    ``('0x' || substr(md5(w || ':seed'), 1, 8))::BIGINT`` — so the
+    32-bit fingerprint (and everything downstream: chunk blocking,
+    hamming) is fully oracle-checkable, same recipe as
+    text.fingerprint_col. 32 bits keeps every value and every bit
+    literal below 2^32 (DuckDB's left shift refuses bit 63, and ANSI
+    Spark would overflow a 64-bit conv cast). Production dedup should
+    prefer the 64-bit xxhash64 variant (cheaper hash, fewer accidental
+    collisions at 10^9+ docs); this one exists so the SimHash pipeline
+    has a hash-matched correctness gate."""
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    hashes = F.transform(
+        words,
+        lambda w: F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", w, F.lit(str(seed))).cast("binary")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    return docs.select(
+        F.col(id_col), _simhash_fp_col(words, hashes, n_bits).alias("simhash")
     )
 
 
@@ -457,6 +499,7 @@ def simhash_near_dups(
     seed: int = 42,
     max_bucket: int = 256,
     fingerprints: DataFrame | None = None,
+    n_bits: int = 64,
 ) -> DataFrame:
     """Pairs with hamming(simhash_a, simhash_b) <= max_hamming.
 
@@ -472,7 +515,9 @@ def simhash_near_dups(
     from the radius, never fixed (a fixed 4-chunk split silently misses
     hamming-4..8 pairs that differ in all four chunks). max_hamming=3
     reproduces the classic 4 x 16-bit split. The verification
-    (bit_count of xor) runs JVM-side. ``max_hamming`` must be < 64.
+    (bit_count of xor) runs JVM-side. ``max_hamming`` must be < n_bits
+    (``n_bits``: fingerprint width — 64 for the xxhash64 default, 32
+    for the cross-engine md5 variant).
 
     ``max_bucket``: expected (chunk_idx, chunk_val) population is
     n/2^chunk_bits per chunk value, i.e. candidates grow ~quadratically
@@ -481,10 +526,10 @@ def simhash_near_dups(
     below the cap, star-chain to the bucket min above it (see
     _capped_bucket_pairs).
     """
-    if not 0 <= max_hamming < 64:
-        raise ValueError(f"max_hamming must be in [0, 64), got {max_hamming}")
+    if not 0 <= max_hamming < n_bits:
+        raise ValueError(f"max_hamming must be in [0, {n_bits}), got {max_hamming}")
     n_chunks = max_hamming + 1
-    base, extra = divmod(64, n_chunks)  # first `extra` chunks get base+1 bits
+    base, extra = divmod(n_bits, n_chunks)  # first `extra` chunks get base+1 bits
     widths = [base + 1] * extra + [base] * (n_chunks - extra)
     offsets = [sum(widths[:i]) for i in range(n_chunks)]
     # persist: the fingerprint expression would be re-inlined into all
@@ -514,7 +559,7 @@ def simhash_near_dups(
         )
         fa = fp.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
         fb = fp.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
-        hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long")
         out = (
             cands.join(fa, "id_a")
             .join(fb, "id_b")
