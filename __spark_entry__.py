@@ -24,6 +24,7 @@ from nous_spark.graph import (
     primary_identifier,
 )
 from nous_spark.operators.dedup import (
+    dedup_corpus,
     embedding_near_dups,
     embedding_near_dups_exact,
     exact_dedup,
@@ -529,6 +530,18 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), k=3, threshold=0.3)
 
 
+def _q_doc_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus dedup: MinHash-LSH blocked + exact-verified
+    pairs -> connected components -> canonical (min-id) survivor per
+    cluster. The oracle recomputes the same pair set (shared CTE with
+    the doc_minhash_near_dups oracle) and resolves clusters with a
+    recursive transitive-closure CTE — the one query where DuckDB
+    checks our distributed CC implementation end to end."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_verified_near_dups(docs, threshold=0.5, shingle_k=5)
+    return dedup_corpus(docs, pairs).select("doc_id")
+
+
 def _q_simhash_md5_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dups with the CROSS-ENGINE md5 32-bit fingerprint
     (dedup.simhash_fingerprints_md5): the whole pipeline — per-word hash,
@@ -765,6 +778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_metadata": _q_kg_entity_metadata,
         "doc_quality_filter": _q_doc_quality_filter,
         "doc_minhash_near_dups": _q_minhash_near_dups,
+        "doc_dedup_corpus": _q_doc_dedup_corpus,
         "doc_ngram_jaccard": _q_ngram_jaccard,
         "doc_lang_id_confusion": _q_lang_id,
         "doc_bpe_tokens": _q_doc_bpe_tokens,
@@ -933,6 +947,35 @@ def _build_emb_lsh_sql() -> str:
         WHERE list_cosine_similarity(va.embedding::DOUBLE[],
                                      vb.embedding::DOUBLE[]) >= 0.4
     """
+
+
+# Exact all-pairs word-5-gram Jaccard pairs at threshold 0.5 — the
+# oracle-side pair set SHARED by doc_minhash_near_dups (which emits the
+# pairs) and doc_dedup_corpus (which clusters them): one definition, the
+# two oracles cannot drift. Assumes the operator's LSH blocking recall
+# is 1 on the bimodal testdata (pairs sit at J>=0.87 vs <0.3 — see
+# CLAUDE.md invariant on threshold-borderline regeneration).
+_MINHASH_PAIR_CTES = r"""words AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+              FROM documents
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS g
+              FROM words, UNNEST(range(1, greatest(len(w)-4, 1)+1)) AS t(i)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ns
+              FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            mh_pairs AS (
+              SELECT id_a, id_b, round(ns / (sa.n + sb.n - ns), 4) AS jaccard
+              FROM inter
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE round(ns / (sa.n + sb.n - ns), 4) >= 0.5
+            )"""
 
 
 def _build_pipeline_triples_sql() -> str:
@@ -1448,26 +1491,27 @@ def oracle_sql() -> dict[str, str]:
         # exact word-5-gram Jaccard all-pairs — parity with the LSH-blocked
         # + exact-verified operator requires (and thereby proves) blocking
         # recall 1 at >= 0.5 on this corpus
-        "doc_minhash_near_dups": r"""
-            WITH words AS (
-              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
-              FROM documents
+        "doc_minhash_near_dups": f"""
+            WITH {_MINHASH_PAIR_CTES}
+            SELECT id_a, id_b, jaccard FROM mh_pairs
+        """,
+        "doc_dedup_corpus": f"""
+            WITH RECURSIVE {_MINHASH_PAIR_CTES},
+            e AS (
+              SELECT id_a AS src, id_b AS dst FROM mh_pairs
+              UNION
+              SELECT id_b, id_a FROM mh_pairs
             ),
-            sh AS (
-              SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS g
-              FROM words, UNNEST(range(1, greatest(len(w)-4, 1)+1)) AS t(i)
+            reach(id, comp) AS (
+              SELECT src, src FROM e
+              UNION
+              SELECT e.src, r.comp FROM e JOIN reach r ON r.id = e.dst
             ),
-            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-            inter AS (
-              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ns
-              FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
-              GROUP BY 1, 2
-            )
-            SELECT id_a, id_b, round(ns / (sa.n + sb.n - ns), 4) AS jaccard
-            FROM inter
-            JOIN sizes sa ON sa.doc_id = id_a
-            JOIN sizes sb ON sb.doc_id = id_b
-            WHERE round(ns / (sa.n + sb.n - ns), 4) >= 0.5
+            comp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+            doomed AS (SELECT id FROM comp WHERE id <> component)
+            SELECT d.doc_id FROM documents d
+            LEFT JOIN doomed ON doomed.id = d.doc_id
+            WHERE doomed.id IS NULL
         """,
         # word-3-gram Jaccard with the stop-shingle df cap mirrored
         "doc_ngram_jaccard": r"""

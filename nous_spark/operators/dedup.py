@@ -755,3 +755,49 @@ def ngram_jaccard_pairs(
         return out.localCheckpoint(eager=True)
     finally:
         shingled.unpersist()
+
+
+# --------------------------------------------------------------------------
+# corpus-level dedup: pairs -> clusters -> canonical survivors
+# --------------------------------------------------------------------------
+def dedup_corpus(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Resolve near-duplicate PAIRS into clusters and drop all but each
+    cluster's canonical (min-id) document — the step that turns pair
+    detection into an actual deduplicated training corpus.
+
+    Clustering is transitive by design (a~b, b~c => one cluster even if
+    a!~c directly — the standard near-dup dedup semantics): connected
+    components over the pair graph (nous_spark.cc — size-adaptive
+    driver union-find below 2M edges, large-star/small-star loop above),
+    then a left-anti join drops non-canonical members. Returns the
+    surviving docs with all their columns.
+
+    Scale: the pair list is the output of a blocked+verified detector
+    (minhash_verified_near_dups etc.), i.e. orders of magnitude smaller
+    than the corpus; CC runs on pairs only, and the final anti-join is
+    the single corpus-sized shuffle.
+    """
+    from nous_spark.cc import connected_components
+
+    id_type = docs.schema[id_col].dataType
+    numeric = isinstance(
+        id_type, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+    )
+    # cc elects the MIN-STRING id per component; zero-pad numeric ids so
+    # string order == numeric order ("10" < "9" otherwise) and the
+    # canonical pick matches the numeric-min the oracle computes.
+    # (Assumes non-negative ids, which doc ids are.)
+    if numeric:
+        enc = lambda c: F.lpad(c.cast("string"), 20, "0")  # noqa: E731
+    else:
+        enc = lambda c: c.cast("string")  # noqa: E731
+    edges = pairs.select(
+        enc(F.col("id_a")).alias("src"), enc(F.col("id_b")).alias("dst")
+    )
+    comp = connected_components(edges)
+    doomed = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").cast(id_type).alias(id_col)
+    )
+    return docs.join(doomed, id_col, "left_anti")

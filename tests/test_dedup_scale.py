@@ -237,3 +237,19 @@ def test_embedding_near_dups_empty_input_schema(spark):
     # schemas align -> the union is legal and keeps the real pair
     unioned = out.unionByName(got).collect()
     assert {(r["id_a"], r["id_b"]) for r in unioned} == {("a", "b")}
+
+
+def test_dedup_corpus_transitive_cluster_and_string_order(spark):
+    """a~b, b~c => one cluster keeps only min id; numeric ids must pick
+    the NUMERIC min (9 survives {9, 10}, not string-min '10')."""
+    from nous_spark.operators.dedup import dedup_corpus
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in (0, 1, 2, 3, 9, 10)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (9, 10)], "id_a long, id_b long"
+    )
+    out = dedup_corpus(docs, pairs)
+    assert {r["doc_id"] for r in out.collect()} == {0, 1, 9}
+    assert out.columns == docs.columns  # survivors keep all columns
