@@ -530,6 +530,27 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), k=3, threshold=0.3)
 
 
+def _q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic language-rebalancing sample: en downweighted, zh
+    upweighted, everything else at the default fraction — the training-
+    mix curation step, reproducible across engines via the md5 draw."""
+    from nous_spark.operators.curation import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs, {"en": 0.25, "zh": 1.0}, default_fraction=0.5, seed=42
+    )
+    return out.select("doc_id", "lang")
+
+
+def _q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-quantized sequence packing: 2048-token training sequences
+    per language, documents never split."""
+    from nous_spark.operators.curation import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), budget_tokens=2048)
+
+
 def _q_doc_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus dedup: MinHash-LSH blocked + exact-verified
     pairs -> connected components -> canonical (min-id) survivor per
@@ -779,6 +800,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_filter": _q_doc_quality_filter,
         "doc_minhash_near_dups": _q_minhash_near_dups,
         "doc_dedup_corpus": _q_doc_dedup_corpus,
+        "doc_stratified_sample": _q_doc_stratified_sample,
+        "doc_pack_sequences": _q_doc_pack_sequences,
         "doc_ngram_jaccard": _q_ngram_jaccard,
         "doc_lang_id_confusion": _q_lang_id,
         "doc_bpe_tokens": _q_doc_bpe_tokens,
@@ -1196,6 +1219,27 @@ def oracle_sql() -> dict[str, str]:
         "doc_simhash_md5_near_dups": _build_simhash_md5_sql(),
         "media_image_features": _build_media_features_sql(),
         "kg_pipeline_triples": _build_pipeline_triples_sql(),
+        "doc_stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 8))::BIGINT
+                    / 4294967296.0
+                  < CASE lang WHEN 'en' THEN 0.25
+                              WHEN 'zh' THEN 1.0
+                              ELSE 0.5 END
+        """,
+        "doc_pack_sequences": r"""
+            WITH t AS (
+              SELECT doc_id, lang,
+                     length(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+              FROM documents
+            )
+            SELECT doc_id, lang, n_tokens,
+                   CAST(floor(coalesce(sum(n_tokens) OVER (
+                     PARTITION BY lang ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) / 2048) AS BIGINT) AS seq_id
+            FROM t
+        """,
         "tpch_q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

@@ -1,0 +1,94 @@
+"""Training-corpus curation operators: deterministic stratified sampling
+and budget-quantized sequence packing.
+
+Both are the pre-tokenization steps a 100 TB pretraining pipeline runs
+after dedup/quality filtering: sampling rebalances the language/domain
+mix, packing groups documents into fixed-token-budget training
+sequences. Both are pure Column/window expressions (JVM, codegen, no
+Python workers) and fully oracle-checkable — the sampling decision is a
+cross-engine md5 hash (the doc_fingerprints recipe), not Spark's
+``sample()`` (whose Bernoulli draw is partition-dependent and therefore
+not reproducible across engines or re-partitioning).
+
+Scale notes:
+  * sampling is a stateless map — no shuffle, pushes down past nothing
+    it needs to;
+  * packing is one window per ``group_col`` partition: the sort is the
+    unavoidable cost of sequential packing; at web scale partition by
+    (lang, shard) so no single window partition exceeds a task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from nous_spark.operators.text import token_count_col
+
+
+def hash_uniform_col(key: Column, seed: int = 42) -> Column:
+    """Deterministic uniform draw in [0, 1): the first 8 md5 hex chars
+    of "key:seed" scaled by 2^32 — computable identically in DuckDB as
+    ``('0x' || substr(md5(key || ':seed'), 1, 8))::BIGINT /
+    4294967296.0``. Every value is an exact multiple of 2^-32, so
+    threshold comparisons are float-exact across engines."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(":", key.cast("string"), F.lit(str(seed))).cast("binary")
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return h / F.lit(float(1 << 32))
+
+
+def stratified_sample(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Keep each row with probability ``fractions[stratum]`` (else
+    ``default_fraction``), decided by the deterministic per-row hash —
+    reproducible across runs, engines, and repartitioning, unlike
+    ``DataFrame.sample``. Returns the surviving rows unchanged."""
+    frac = F.lit(float(default_fraction))
+    for k in sorted(fractions):  # deterministic plan for a stable oracle
+        frac = F.when(F.col(stratum_col) == k, F.lit(float(fractions[k]))).otherwise(
+            frac
+        )
+    return docs.filter(hash_uniform_col(F.col(id_col), seed) < frac)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget_tokens: int = 2048,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training sequences:
+    within each ``group_col`` partition, in ``id_col`` order, document d
+    lands in sequence floor(preceding-token-sum / budget). Documents are
+    never split; a sequence may overflow by at most its last document
+    (budget-QUANTIZED packing — the deterministic, single-window-pass
+    discipline; true first-fit bin packing is order-dependent and
+    doesn't parallelize). Returns (id, group, n_tokens, seq_id)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = docs.select(
+        id_col, group_col, token_count_col(F.col(text_col)).cast("long").alias("n_tokens")
+    )
+    prev = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    return d.withColumn("seq_id", F.floor(prev / budget_tokens))
