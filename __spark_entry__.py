@@ -551,6 +551,15 @@ def _q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(_t(spark, sf_dir, "documents"), budget_tokens=2048)
 
 
+def _q_doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document (rounded-score sort key shared
+    with the oracle so ulp-level ln() differences cannot flip the k
+    cutoff)."""
+    from nous_spark.operators.text import tfidf_topk_terms
+
+    return tfidf_topk_terms(_t(spark, sf_dir, "documents"), k=5)
+
+
 def _q_doc_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus dedup: MinHash-LSH blocked + exact-verified
     pairs -> connected components -> canonical (min-id) survivor per
@@ -802,6 +811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_corpus": _q_doc_dedup_corpus,
         "doc_stratified_sample": _q_doc_stratified_sample,
         "doc_pack_sequences": _q_doc_pack_sequences,
+        "doc_tfidf_topk": _q_doc_tfidf_topk,
         "doc_ngram_jaccard": _q_ngram_jaccard,
         "doc_lang_id_confusion": _q_lang_id,
         "doc_bpe_tokens": _q_doc_bpe_tokens,
@@ -1226,6 +1236,35 @@ def oracle_sql() -> dict[str, str]:
                   < CASE lang WHEN 'en' THEN 0.25
                               WHEN 'zh' THEN 1.0
                               ELSE 0.5 END
+        """,
+        "doc_tfidf_topk": r"""
+            WITH wt AS (
+              SELECT doc_id,
+                     list_filter(
+                       regexp_split_to_array(
+                         regexp_replace(lower(text), '[^a-záàâãéêíóôõúüçñ]+', ' ', 'g'),
+                         ' '),
+                       w -> w != '') AS words
+              FROM documents
+            ),
+            toks AS (SELECT doc_id, unnest(words) AS term FROM wt),
+            tf AS (SELECT doc_id, term, count(*) AS tf_cnt FROM toks GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*) AS n_words FROM toks GROUP BY 1),
+            dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.term,
+                     round((tf.tf_cnt / dl.n_words) * ln(n.n_docs / dft.df), 6)
+                       AS score
+              FROM tf JOIN dl USING (doc_id) JOIN dft USING (term) CROSS JOIN n
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, term ASC
+              ) AS rank
+              FROM scored
+            )
+            SELECT doc_id, term, score, rank FROM ranked WHERE rank <= 5
         """,
         "doc_pack_sequences": r"""
             WITH t AS (

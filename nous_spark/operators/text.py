@@ -237,3 +237,59 @@ def fingerprint_text(text: str | None, window: int = 8) -> int:
 @F.pandas_udf(T.LongType())
 def fingerprint_udf(text: pd.Series) -> pd.Series:
     return text.map(fingerprint_text)
+
+
+# ---------------------------------------------------------------- tf-idf
+def tfidf_topk_terms(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k TF-IDF terms per document — the keyword/topic-signal
+    extraction step of a corpus-analysis pipeline, pure DataFrame ops:
+
+      tf(w, d)  = count of w in d / #words in d
+      idf(w)    = ln(N / df(w)),  df = #docs containing w
+      score     = round(tf * idf, 6)
+
+    ranked per doc by (score DESC, term ASC) — the ROUNDED score is the
+    sort key on BOTH the Spark and oracle sides, so a 1-ulp ln()
+    difference between engines cannot reorder near-ties at the k cutoff.
+    Tokenization matches lang_id_col ([a-z+accents]+ of the lowered
+    text). N comes from a broadcast 1-row aggregate (no driver action).
+
+    Scale: explode -> two hash aggregations (per-(doc, term), then
+    per-term df) + one per-doc window. The df table is vocabulary-sized;
+    the window partitions by doc (bounded rows per doc). No collect.
+    """
+    from pyspark.sql import Window
+
+    words = F.filter(
+        F.split(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-záàâãéêíóôõúüçñ]+", " "), " "),
+        lambda w: w != "",
+    )
+    toks = docs.select(F.col(id_col), F.explode(words).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf_cnt"))
+    doc_len = toks.groupBy(id_col).agg(F.count("*").alias("n_words"))
+    df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(doc_len, id_col)
+        .join(df_tbl, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                (F.col("tf_cnt") / F.col("n_words"))
+                * F.log(F.col("n_docs") / F.col("df")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "score", "rank")
+    )

@@ -59,3 +59,30 @@ def test_pack_sequences_budget_and_conservation(spark):
     max_doc = max(r["n_tokens"] for r in out)
     assert all(tok < 500 + max_doc for tok in seqs.values())
     assert sum(seqs.values()) == sum(r["n_tokens"] for r in out)
+
+
+def test_tfidf_topk_semantics(spark):
+    """A term present in every doc has idf 0; a distinctive term tops
+    its doc's ranking; rank is dense 1..k per doc."""
+    from nous_spark.operators.text import tfidf_topk_terms
+
+    docs = spark.createDataFrame(
+        [
+            (0, "common alpha alpha common common"),
+            (1, "common beta beta common"),
+            (2, "common gamma common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_topk_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for d, rows in by_doc.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    # the distinctive term wins rank 1 in each doc; 'common' scores 0
+    assert by_doc[0][0]["term"] == "alpha"
+    assert by_doc[1][0]["term"] == "beta"
+    assert by_doc[2][0]["term"] == "gamma"
+    assert all(r["score"] == 0.0 for rows in by_doc.values() for r in rows if r["term"] == "common")
