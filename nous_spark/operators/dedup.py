@@ -637,7 +637,7 @@ def embedding_near_dups(
     self-join below the cap, star-chain to the bucket min above it
     (see _capped_bucket_pairs).
     """
-    from nous_spark.operators.similarity import hyperplane_buckets
+    from nous_spark.operators.similarity import hyperplane_buckets_multi
 
     dim_row = vectors.select(F.size(vec_col).alias("d")).first()
     if dim_row is None:  # empty input -> empty result, not a crash
@@ -653,15 +653,12 @@ def embedding_near_dups(
         return vectors.sparkSession.createDataFrame([], empty_schema)
     dim = int(dim_row["d"])
 
-    per_table = []
-    for t in range(n_tables):
-        bt = hyperplane_buckets(
-            vectors, n_planes, dim, seed + 7919 * t, id_col, vec_col
-        ).withColumn("tbl", F.lit(t))
-        per_table.append(bt)
-    buckets = per_table[0]
-    for bt in per_table[1:]:
-        buckets = buckets.unionByName(bt)
+    # all n_tables bucketings in ONE Arrow pass (stacked plane matmul) —
+    # was a per-table mapInPandas + union: n_tables full scans of the
+    # corpus and n_tables Python-worker passes for the same result
+    buckets = hyperplane_buckets_multi(
+        vectors, n_planes, n_tables, dim, seed, id_col, vec_col
+    )
     cands = _capped_bucket_pairs(buckets, ["tbl", "bucket"], id_col, max_bucket)
 
     va = vectors.select(

@@ -291,6 +291,74 @@ def hyperplane_buckets(
     return vectors.select(id_col, vec_col).mapInPandas(gen, out_schema)
 
 
+def hyperplane_buckets_multi(
+    vectors: DataFrame,
+    n_planes: int,
+    n_tables: int,
+    dim: int | None = None,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, tbl, bucket) rows for ``n_tables`` independent seeded plane
+    sets in ONE Arrow pass: the per-table plane matrices (seed +
+    7919*t — identical values to per-table hyperplane_buckets calls and
+    to the generated DuckDB oracle) are stacked into a single
+    (n_tables*n_planes, dim) matrix, so the batch does one matmul and
+    one Python-worker pass instead of n_tables of each. At corpus scale
+    that is n_tables-fold fewer Arrow round trips over the data — the
+    difference between 1 and 8 full scans."""
+    if dim is None:
+        first = vectors.select(F.size(vec_col).alias("d")).first()
+        if first is None:
+            empty_schema = T.StructType(
+                [
+                    T.StructField(id_col, vectors.schema[id_col].dataType),
+                    T.StructField("tbl", T.IntegerType()),
+                    T.StructField("bucket", T.LongType()),
+                ]
+            )
+            return vectors.sparkSession.createDataFrame([], empty_schema)
+        dim = int(first["d"])
+    planes = np.vstack(
+        [hyperplane_planes(n_planes, dim, seed + 7919 * t) for t in range(n_tables)]
+    )
+    sc = vectors.sparkSession.sparkContext
+    bp = sc.broadcast(planes)
+    weights = 1 << np.arange(n_planes)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pl = bp.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vm = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            bits = (vm @ pl.T) > 0  # (batch, n_tables*n_planes)
+            per_tbl = [
+                (bits[:, t * n_planes : (t + 1) * n_planes] * weights)
+                .sum(axis=1)
+                .astype(np.int64)
+                for t in range(n_tables)
+            ]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    id_col: np.tile(pdf[id_col].to_numpy(), n_tables),
+                    "tbl": np.repeat(np.arange(n_tables, dtype=np.int32), n),
+                    "bucket": np.concatenate(per_tbl),
+                }
+            )
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, vectors.schema[id_col].dataType),
+            T.StructField("tbl", T.IntegerType()),
+            T.StructField("bucket", T.LongType()),
+        ]
+    )
+    return vectors.select(id_col, vec_col).mapInPandas(gen, out_schema)
+
+
 def lsh_ann_topk(
     vectors: DataFrame,
     query: list[float],
