@@ -551,6 +551,69 @@ def _q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(_t(spark, sf_dir, "documents"), budget_tokens=2048)
 
 
+def _q_kg_batch_fact_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch H4 (graph.remove_facts_from_entities) with an observable
+    cascade: the tpch graph is extended with one synthetic source per
+    fact (DERIVED_FROM fact -> 'wiki:<fact_id>'), then ONE removals
+    frame drops (a) every asserter of Nation:GERMANY — orphaning the
+    fact, which must cascade its provenance edge and source — and (b)
+    Segment:BUILDING for custkeys < 200, which survives via its other
+    asserters. Output: every surviving fact with its remaining HAS_FACT
+    edge count and source-survival flag. Fully SQL-expressible: the
+    oracle replicates the anti-join + orphan-cascade semantics."""
+    from nous_spark.graph import remove_facts_from_entities
+
+    edges = tpch_edges(spark, sf_dir)
+    facts = tpch_facts(spark, sf_dir)
+    derived = facts.select(
+        F.col("fact_id").alias("src"),
+        F.lit("DERIVED_FROM").alias("edge_type"),
+        F.concat(F.lit("wiki:"), "fact_id").alias("dst"),
+        F.lit(None).cast("string").alias("pred"),
+        F.lit(None).cast("double").alias("confidence"),
+        F.lit(None).cast("boolean").alias("is_primary"),
+        F.lit(None).cast("timestamp").alias("created_at"),
+    )
+    edges = edges.unionByName(derived)
+    sources = facts.select(F.concat(F.lit("wiki:"), "fact_id").alias("source_id"))
+    customer = _t(spark, sf_dir, "customer")
+    removals = (
+        edges.filter(
+            (F.col("edge_type") == "HAS_FACT") & (F.col("dst") == "Nation:GERMANY")
+        )
+        .select(F.col("src").alias("entity_id"), F.col("dst").alias("fact_id"))
+        .unionByName(
+            customer.filter(F.col("c_custkey") < 200).select(
+                F.concat(F.lit("cust:"), "c_custkey").alias("entity_id"),
+                F.lit("Segment:BUILDING").alias("fact_id"),
+            )
+        )
+    )
+    out = remove_facts_from_entities(
+        {"edges": edges, "facts": facts, "sources": sources}, removals
+    )
+    refc = (
+        out["edges"]
+        .filter(F.col("edge_type") == "HAS_FACT")
+        .groupBy(F.col("dst").alias("fact_id"))
+        .agg(F.count("*").alias("n_edges"))
+    )
+    surviving_src = out["sources"].select(
+        F.expr("substring(source_id, 6)").alias("fact_id"),
+        F.lit(True).alias("has_source"),
+    )
+    return (
+        out["facts"]
+        .join(refc, "fact_id", "left")
+        .join(surviving_src, "fact_id", "left")
+        .select(
+            "fact_id",
+            F.coalesce("n_edges", F.lit(0)).alias("n_edges"),
+            F.coalesce("has_source", F.lit(False)).alias("has_source"),
+        )
+    )
+
+
 def _q_doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 TF-IDF terms per document (rounded-score sort key shared
     with the oracle so ulp-level ln() differences cannot flip the k
@@ -812,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stratified_sample": _q_doc_stratified_sample,
         "doc_pack_sequences": _q_doc_pack_sequences,
         "doc_tfidf_topk": _q_doc_tfidf_topk,
+        "kg_batch_fact_removal": _q_kg_batch_fact_removal,
         "doc_ngram_jaccard": _q_ngram_jaccard,
         "doc_lang_id_confusion": _q_lang_id,
         "doc_bpe_tokens": _q_doc_bpe_tokens,
@@ -1236,6 +1300,64 @@ def oracle_sql() -> dict[str, str]:
                   < CASE lang WHEN 'en' THEN 0.25
                               WHEN 'zh' THEN 1.0
                               ELSE 0.5 END
+        """,
+        "kg_batch_fact_removal": f"""
+            WITH base_edges AS ({EDGES_SQL}),
+            facts AS ({FACTS_SQL}),
+            edges AS (
+              SELECT * FROM base_edges
+              UNION ALL
+              SELECT fact_id, 'DERIVED_FROM', 'wiki:' || fact_id,
+                     NULL, NULL, NULL, NULL
+              FROM facts
+            ),
+            sources AS (SELECT 'wiki:' || fact_id AS source_id FROM facts),
+            removals AS (
+              SELECT DISTINCT src AS entity_id, dst AS fact_id
+              FROM edges
+              WHERE edge_type = 'HAS_FACT' AND dst = 'Nation:GERMANY'
+              UNION
+              SELECT 'cust:' || c_custkey, 'Segment:BUILDING'
+              FROM customer WHERE c_custkey < 200
+            ),
+            ne AS (
+              SELECT e.* FROM edges e
+              WHERE NOT EXISTS (
+                SELECT 1 FROM removals r
+                WHERE e.edge_type = 'HAS_FACT'
+                  AND e.src = r.entity_id AND e.dst = r.fact_id
+              )
+            ),
+            orphaned AS (
+              SELECT DISTINCT r.fact_id FROM removals r
+              WHERE NOT EXISTS (
+                SELECT 1 FROM ne
+                WHERE ne.edge_type = 'HAS_FACT' AND ne.dst = r.fact_id
+              )
+            ),
+            ne2 AS (
+              SELECT * FROM ne
+              WHERE NOT (edge_type = 'DERIVED_FROM'
+                         AND src IN (SELECT fact_id FROM orphaned))
+            ),
+            nf AS (
+              SELECT * FROM facts
+              WHERE fact_id NOT IN (SELECT fact_id FROM orphaned)
+            ),
+            ns AS (
+              SELECT s.source_id FROM sources s
+              WHERE s.source_id IN (
+                SELECT dst FROM ne2 WHERE edge_type = 'DERIVED_FROM'
+              )
+            )
+            SELECT f.fact_id,
+                   (SELECT count(*) FROM ne2 e
+                    WHERE e.edge_type = 'HAS_FACT' AND e.dst = f.fact_id)
+                     AS n_edges,
+                   EXISTS (SELECT 1 FROM ns
+                           WHERE ns.source_id = 'wiki:' || f.fact_id)
+                     AS has_source
+            FROM nf f
         """,
         "doc_tfidf_topk": r"""
             WITH wt AS (

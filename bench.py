@@ -56,15 +56,17 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# 160k pages: the N-leg wall is ~140-180s here, so 2-3 CONCURRENT pairs
+# 200k pages: the N-leg wall is ~160-200s here, so 2-3 CONCURRENT pairs
 # fit the deadline (at 240k a single bad-window pair ate the whole
 # budget — observed 290s — leaving the round with one sample of a >2x
-# noisy ratio). Extraction still dominates the ~13s fixed orchestration
-# floor at this size: predicted valid-window end-to-end efficiency
-# ~0.88 vs ~0.89 at 240k, a negligible give-back for 3x the samples —
-# and on this host SAMPLES are what the 0.8 gate needs (the best-valid
-# estimator picks the quietest observed window).
-N_PAGES = int(os.environ.get("NOUS_BENCH_PAGES", "160000"))
+# noisy ratio; at 160k the ~12s fixed orchestration tail was ~30% of
+# the 4N wall and capped valid pairs near ~0.78 in ordinary windows).
+# 200k keeps the tail under ~25% of the 4N leg (valid-window ceiling
+# ~0.82-0.85) while still fitting multiple pairs — and on this host
+# SAMPLES are what the 0.8 gate needs (the best-valid estimator picks
+# the quietest observed window; measured best-valids at 160k across
+# four runs: 0.721/0.773/0.963/0.781).
+N_PAGES = int(os.environ.get("NOUS_BENCH_PAGES", "200000"))
 # budget for the PIPELINE section (headline queries excluded): a new
 # interleaved pair starts only if the cheapest pair observed so far
 # suggests it finishes inside this. 540s + ~25s of headline keeps the

@@ -151,3 +151,22 @@ def test_embedding_near_dups_empty_input(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert embedding_near_dups(empty, threshold=0.9).count() == 0
     assert embedding_near_dups_exact(empty, threshold=0.9).count() == 0
+
+
+def test_buckets_multi_equals_per_table(spark):
+    """The fused one-pass bucketing must reproduce each per-table
+    hyperplane_buckets call exactly (same seeded planes per table)."""
+    from nous_spark.operators.similarity import (
+        hyperplane_buckets,
+        hyperplane_buckets_multi,
+    )
+
+    vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    multi = hyperplane_buckets_multi(vecs, n_planes=6, n_tables=3, seed=42)
+    got = {
+        (r["vec_id"], r["tbl"]): r["bucket"] for r in multi.collect()
+    }
+    for t in range(3):
+        solo = hyperplane_buckets(vecs, 6, None, 42 + 7919 * t).collect()
+        assert all(got[(r["vec_id"], t)] == r["bucket"] for r in solo)
+        assert len(solo) == sum(1 for (_, tt) in got if tt == t)
