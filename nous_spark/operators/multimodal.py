@@ -7,15 +7,17 @@ column; decode / feature-extract / resize / frame-sample are Arrow-batched
 driver or JVM row objects.
 
 Image decode is REAL for BMP (24/32-bit uncompressed, bottom-up and
-top-down) and PPM (P6 binary / P3 ascii): pure-numpy header+pixel
-parsers below, no external codec needed — ``synth_media`` emits genuine
-BMP/PPM payloads alongside the fake format, and ``image_features``
-computes width/height/means/histogram from the actual pixel bytes.
-Compressed formats (JPEG/PNG) still go through an import-try for PIL
+top-down) and PPM (P6 binary / P3 ascii), and audio decode is REAL for
+WAV (RIFF chunk walk, 16-bit PCM, any channel count): pure-numpy
+header+sample parsers below, no external codec needed — ``synth_media``
+emits genuine BMP/PPM/WAV payloads alongside the fake formats, and the
+feature operators compute from the actual bytes. Compressed formats
+(JPEG/PNG/MP3/OGG) still go through an import-try for PIL/soundfile
 (absent in this container): ``strict=True`` raises
 ``NotImplementedError``; otherwise the deterministic FAKE codec keeps
 the Spark-side plumbing (schema, partitioning, UDF signature, Arrow
-batch shape) testable. Audio/video codecs remain stubbed the same way.
+batch shape) testable. Video container parsing remains stubbed the
+same way (a real demuxer needs ffmpeg).
 
 Scale notes: media rows are large — keep
 ``spark.sql.files.maxPartitionBytes`` low (128 MB) so a partition of
@@ -85,8 +87,80 @@ def _decode_audio_fake(content: bytes) -> tuple[np.ndarray, int]:
 
 
 # ---------------------------------------------------------------------------
-# REAL decoders: BMP + PPM, pure numpy (no external codec)
+# REAL decoders: BMP + PPM images, WAV audio — pure numpy, no external codec
 # ---------------------------------------------------------------------------
+def _decode_audio_wav(content: bytes) -> tuple[np.ndarray, int]:
+    """Parse a RIFF/WAVE file (PCM, 16-bit) to (mono float32 samples in
+    [-1, 1), sample_rate). Full chunk walk: 'RIFF' size 'WAVE', then
+    chunks until 'fmt ' (audio_format 1 = PCM, n_channels, sample_rate,
+    bits_per_sample) and 'data' are found; chunks are word-aligned
+    (odd-sized chunks carry a pad byte). Multi-channel input is
+    mono-ized by averaging channels."""
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(content) and (fmt is None or data is None):
+        cid = content[pos : pos + 4]
+        size = struct.unpack_from("<I", content, pos + 4)[0]
+        body = content[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated WAV fmt chunk")
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16 or n_channels < 1:
+        raise ValueError(
+            f"unsupported WAV (format={audio_format}, bits={bits}, ch={n_channels})"
+        )
+    n = len(data) // (2 * n_channels)
+    if n == 0:
+        return np.zeros(0, dtype=np.float32), int(sample_rate)
+    pcm = np.frombuffer(data, dtype="<i2", count=n * n_channels)
+    samples = pcm.reshape(n, n_channels).mean(axis=1) / 32768.0
+    return samples.astype(np.float32), int(sample_rate)
+
+
+def _encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """Encode mono float32 [-1, 1) samples as a 16-bit PCM WAV — used by
+    synth_media and tests to produce REAL audio payloads."""
+    pcm = np.clip(np.asarray(samples, dtype=np.float64) * 32768.0, -32768, 32767)
+    data = pcm.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def decode_audio(content: bytes, strict: bool = False) -> tuple[np.ndarray, int]:
+    """Decode an audio binary to (mono float32 samples, rate). WAV
+    decodes FOR REAL (pure numpy, above); FAUD is the deterministic
+    fake; anything else (mp3/ogg/...) needs an optional codec —
+    ``NotImplementedError`` under ``strict`` when absent."""
+    if content.startswith(_AUD_MAGIC):
+        return _decode_audio_fake(content)
+    if content[:4] == b"RIFF":
+        return _decode_audio_wav(content)
+    try:
+        import soundfile  # noqa: F401  (absent in this container)
+        import io
+
+        data, rate = soundfile.read(io.BytesIO(content), dtype="float32")
+        if data.ndim > 1:
+            data = data.mean(axis=1)
+        return data.astype(np.float32), int(rate)
+    except ImportError as exc:
+        if strict:
+            raise NotImplementedError(
+                "real audio decode requires soundfile, which is not installed"
+            ) from exc
+        raise ValueError("unrecognized audio payload and soundfile unavailable") from exc
+
+
 def _decode_image_bmp(content: bytes) -> np.ndarray:
     """Parse an uncompressed 24/32-bit BI_RGB BMP to (h, w, 3) RGB uint8.
 
@@ -232,8 +306,12 @@ def synth_media_row(i: int, seed: int = 42) -> dict:
         meta = {"width": str(w), "height": str(h), "format": fmt}
     elif kind == "audio":
         ns, rate = 1000 + rng.randint(0, 8000), 16000
-        content = _fake_audio_bytes(i, ns, rate)
-        meta = {"n_samples": str(ns), "rate": str(rate), "format": "faud"}
+        fmt = ("wav", "faud")[(i // 3) % 2]
+        if fmt == "wav":
+            content = _encode_wav(rng.standard_normal(ns).astype(np.float32) * 0.25, rate)
+        else:
+            content = _fake_audio_bytes(i, ns, rate)
+        meta = {"n_samples": str(ns), "rate": str(rate), "format": fmt}
     else:
         nf, w, h = 4 + rng.randint(0, 12), 32, 24
         content = _fake_video_bytes(i, nf, w, h)
@@ -398,7 +476,7 @@ def audio_features(media: DataFrame) -> DataFrame:
         for pdf in batches:
             out = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                samples, rate = _decode_audio_fake(bytes(content))
+                samples, rate = decode_audio(bytes(content))
                 zc = int(((samples[:-1] * samples[1:]) < 0).sum())
                 out.append(
                     {

@@ -122,6 +122,48 @@ def test_encoders_round_trip():
     assert np.array_equal(decode_image(_encode_ppm(PX_3x2)), PX_3x2)
 
 
+def test_decode_wav_handcrafted_stereo_with_extra_chunk():
+    """Independent RIFF writer: a LIST chunk before fmt (odd-sized, so
+    the word-alignment pad is exercised), stereo 16-bit PCM — decoder
+    must walk chunks, average channels, and scale to [-1, 1)."""
+    from nous_spark.operators.multimodal import decode_audio
+
+    left = np.array([0, 16384, -16384, 32767], dtype=np.int16)
+    right = np.array([0, 0, -16384, 32767], dtype=np.int16)
+    inter = np.empty(8, dtype="<i2")
+    inter[0::2], inter[1::2] = left, right
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 8000 * 4, 4, 16)
+    body = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # odd + pad
+    body += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", inter.nbytes) + inter.tobytes()
+    wav = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    samples, rate = decode_audio(wav)
+    assert rate == 8000 and samples.dtype == np.float32
+    expected = (left.astype(np.float64) + right) / 2 / 32768.0
+    assert np.allclose(samples, expected, atol=1e-7)
+
+
+def test_wav_round_trip_and_audio_features_from_real_bytes(media):
+    from nous_spark.operators.multimodal import _encode_wav, decode_audio
+
+    sig = np.sin(np.linspace(0, 20 * np.pi, 1600)).astype(np.float32) * 0.5
+    got, rate = decode_audio(_encode_wav(sig, 16000))
+    assert rate == 16000
+    assert np.allclose(got, sig, atol=1.0 / 32768)  # int16 quantization
+    # the Spark operator's rms for a real-WAV row matches local decode
+    row = next(
+        r
+        for r in media.filter(F.col("media_type") == "audio").collect()
+        if r["meta"]["format"] == "wav"
+    )
+    samples, rate = decode_audio(bytes(row["content"]))
+    feats = (
+        audio_features(media).filter(F.col("media_id") == row["media_id"]).first()
+    )
+    assert feats["rms"] == pytest.approx(float(np.sqrt((samples**2).mean())), rel=1e-6)
+    assert feats["duration_sec"] == pytest.approx(len(samples) / rate, rel=1e-9)
+
+
 def test_image_features_come_from_real_pixels(media):
     """The Spark operator's features for a BMP row must equal stats of
     the ACTUAL decoded pixels (not the fake-codec fallback)."""
