@@ -117,3 +117,41 @@ def test_normalize_python_column_agreement(spark, values):
     for row, v in zip(got, values):
         assert row["n"] == v.strip()
         assert row["v"] == v.strip().lower()
+
+
+# ------------------------------------------------------- codec round trips
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_bmp_ppm_round_trip_any_shape(w, h, seed):
+    """encode->decode identity for arbitrary (w, h) — exercises every
+    BMP row-padding case (stride = 4-byte aligned) and PPM header."""
+    from nous_spark.operators.multimodal import (
+        _encode_bmp,
+        _encode_ppm,
+        decode_image,
+    )
+
+    px = np.random.RandomState(seed).randint(0, 256, (h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_image(_encode_bmp(px)), px)
+    assert np.array_equal(decode_image(_encode_ppm(px)), px)
+
+
+@given(
+    st.integers(min_value=0, max_value=2000),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_round_trip_within_quantization(n, seed):
+    from nous_spark.operators.multimodal import _encode_wav, decode_audio
+
+    sig = (
+        np.random.RandomState(seed).uniform(-0.999, 0.999, n).astype(np.float32)
+    )
+    got, rate = decode_audio(_encode_wav(sig, 16000))
+    assert rate == 16000 and len(got) == n
+    if n:
+        assert np.abs(got - sig).max() <= 1.0 / 32768 + 1e-7
