@@ -216,3 +216,22 @@ def test_primary_identifier_pick(spark, fixture_tables):
     got = {r["entity_id"]: r["identifier_key"] for r in primary_identifier(fixture_tables["edges"]).collect()}
     assert got["eA"] == "email:a@x.com"
     assert got["eB"] == "email:b@x.com"
+
+
+def test_remove_facts_batch_edge_cases(spark, fixture_tables):
+    """Empty removals -> tables unchanged; nonexistent pairs are no-ops."""
+    from nous_spark.graph import remove_facts_from_entities
+
+    empty = spark.createDataFrame([], "entity_id string, fact_id string")
+    out = remove_facts_from_entities(fixture_tables, empty)
+    assert out["edges"].count() == fixture_tables["edges"].count()
+    assert out["facts"].count() == fixture_tables["facts"].count()
+    assert out["sources"].count() == fixture_tables["sources"].count()
+
+    bogus = spark.createDataFrame(
+        [("eA", "Fact:DoesNotExist"), ("ghost", "Hobby:Hiking")],
+        "entity_id string, fact_id string",
+    )
+    out2 = remove_facts_from_entities(fixture_tables, bogus)
+    assert out2["edges"].count() == fixture_tables["edges"].count()
+    assert out2["facts"].count() == fixture_tables["facts"].count()
