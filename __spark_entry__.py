@@ -545,10 +545,15 @@ def _q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Budget-quantized sequence packing: 2048-token training sequences
-    per language, documents never split."""
+    per (language, md5-shard), documents never split. n_shards=8
+    exercises the hot-group cap (the 'en' window would otherwise be one
+    single-task sort of ~half the corpus at web scale); shard-local ids
+    are namespaced local*8+shard so the oracle can replicate them."""
     from nous_spark.operators.curation import pack_sequences
 
-    return pack_sequences(_t(spark, sf_dir, "documents"), budget_tokens=2048)
+    return pack_sequences(
+        _t(spark, sf_dir, "documents"), budget_tokens=2048, n_shards=8
+    )
 
 
 def _q_kg_batch_fact_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1391,14 +1396,16 @@ def oracle_sql() -> dict[str, str]:
         "doc_pack_sequences": r"""
             WITH t AS (
               SELECT doc_id, lang,
-                     length(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+                     length(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                     ('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 8))::BIGINT % 8
+                       AS shard
               FROM documents
             )
             SELECT doc_id, lang, n_tokens,
                    CAST(floor(coalesce(sum(n_tokens) OVER (
-                     PARTITION BY lang ORDER BY doc_id
+                     PARTITION BY lang, shard ORDER BY doc_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-                   ), 0) / 2048) AS BIGINT) AS seq_id
+                   ), 0) / 2048) * 8 + shard AS BIGINT) AS seq_id
             FROM t
         """,
         "tpch_q1_pricing_summary": """

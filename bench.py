@@ -361,7 +361,17 @@ def main() -> None:
     _ensure_pages(spark, N_PAGES)
     w4 = PipelineWorker(CORES_4N, N_PAGES)
     wn = PipelineWorker(CORES_N, N_PAGES)
+    try:
+        _main_with_workers(spark, queries, w4, wn, hard_end)
+    finally:
+        # stop() is idempotent (a dead/stopped worker is killed quietly):
+        # any exception in the headline loop or pair section must not
+        # leak the two worker JVMs
+        w4.stop()
+        wn.stop()
 
+
+def _main_with_workers(spark, queries, w4, wn, hard_end) -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]

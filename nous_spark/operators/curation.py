@@ -13,9 +13,11 @@ not reproducible across engines or re-partitioning).
 Scale notes:
   * sampling is a stateless map — no shuffle, pushes down past nothing
     it needs to;
-  * packing is one window per ``group_col`` partition: the sort is the
-    unavoidable cost of sequential packing; at web scale partition by
-    (lang, shard) so no single window partition exceeds a task.
+  * packing is one window per (``group_col``, shard) partition: the
+    sort is the unavoidable cost of sequential packing; ``n_shards``
+    salts the hot group (e.g. 'en' at ~half the corpus) into
+    deterministic md5 shards so no single window partition exceeds a
+    task — the hot-key cap every blocking operator in this repo takes.
 """
 
 from __future__ import annotations
@@ -66,29 +68,71 @@ def stratified_sample(
     return docs.filter(hash_uniform_col(F.col(id_col), seed) < frac)
 
 
+def hash_shard_col(key: Column, n_shards: int, seed: int = 42) -> Column:
+    """Deterministic shard in [0, n_shards): the 32-bit md5 draw of
+    ``hash_uniform_col`` taken mod n_shards — same cross-engine recipe
+    (DuckDB: ``('0x' || substr(md5(key || ':seed'), 1, 8))::BIGINT %
+    n``), non-negative on both sides because the hash is."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(":", key.cast("string"), F.lit(str(seed))).cast("binary")
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(n_shards))
+
+
 def pack_sequences(
     docs: DataFrame,
     budget_tokens: int = 2048,
     group_col: str = "lang",
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_shards: int = 1,
+    seed: int = 42,
 ) -> DataFrame:
     """Assign documents to fixed-token-budget training sequences:
-    within each ``group_col`` partition, in ``id_col`` order, document d
-    lands in sequence floor(preceding-token-sum / budget). Documents are
-    never split; a sequence may overflow by at most its last document
-    (budget-QUANTIZED packing — the deterministic, single-window-pass
-    discipline; true first-fit bin packing is order-dependent and
-    doesn't parallelize). Returns (id, group, n_tokens, seq_id)."""
+    within each (``group_col``, shard) partition, in ``id_col`` order,
+    document d lands in sequence floor(preceding-token-sum / budget).
+    Documents are never split; a sequence may overflow by at most its
+    last document (budget-QUANTIZED packing — the deterministic,
+    single-window-pass discipline; true first-fit bin packing is
+    order-dependent and doesn't parallelize). Returns
+    (id, group, n_tokens, seq_id).
+
+    ``n_shards`` is the hot-key cap this operator owes the rest of the
+    repo (CLAUDE.md invariant): a bare ``partitionBy(lang)`` makes the
+    'en' window a single-task sort of ~half the corpus at web scale.
+    With n_shards > 1 each document is salted into a deterministic md5
+    shard (cross-engine, like the sampling draw) and the window runs
+    per (group, shard); shard-local sequence ids are namespaced as
+    ``local_seq * n_shards + shard`` — collision-free, deterministic,
+    and independent of physical partitioning. n_shards=1 (default)
+    preserves the globally-contiguous-per-group ids. Size n_shards so
+    corpus_tokens / (n_groups * n_shards) fits one task's sort budget.
+    """
     from pyspark.sql import Window
 
-    w = (
-        Window.partitionBy(group_col)
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
     d = docs.select(
         id_col, group_col, token_count_col(F.col(text_col)).cast("long").alias("n_tokens")
     )
+    part: list = [group_col]
+    if n_shards > 1:
+        d = d.withColumn("_shard", hash_shard_col(F.col(id_col), n_shards, seed))
+        part.append("_shard")
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     prev = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
-    return d.withColumn("seq_id", F.floor(prev / budget_tokens))
+    local = F.floor(prev / budget_tokens)
+    seq = local * n_shards + F.col("_shard") if n_shards > 1 else local
+    return d.withColumn("seq_id", seq).select(
+        id_col, group_col, "n_tokens", "seq_id"
+    )

@@ -534,24 +534,31 @@ def simhash_near_dups(
     offsets = [sum(widths[:i]) for i in range(n_chunks)]
     # persist: the fingerprint expression would be re-inlined into all
     # chunk extractions and both join sides otherwise; released in the
-    # finally after the eager localCheckpoint of the (small) result
+    # finally after the eager localCheckpoint of the (small) result.
+    # Only a persist WE initiated is released — a caller-supplied
+    # ``fingerprints`` already cached for reuse across radii must keep
+    # its cache (unpersisting it here would silently evict the caller's).
     fp = (
-        fingerprints
-        if fingerprints is not None
-        else simhash_fingerprints(docs, id_col, text_col, seed)
-    ).persist()
+        simhash_fingerprints(docs, id_col, text_col, seed)
+        if fingerprints is None
+        else fingerprints
+    )
+    we_persisted = not fp.is_cached
+    if we_persisted:
+        fp = fp.persist()
+
+    def chunk_expr(off: int, w: int):
+        # a chunk spanning the full 64-bit word needs no mask — and the
+        # ((1 << 64) - 1) literal would overflow Spark's long anyway
+        # (max_hamming=0: one chunk of all n_bits)
+        shifted = F.shiftrightunsigned("simhash", off)
+        return shifted if w >= 64 else shifted.bitwiseAND(F.lit((1 << w) - 1))
+
     try:
         chunks = fp.select(
             id_col,
             F.posexplode(
-                F.array(
-                    *[
-                        F.shiftrightunsigned("simhash", off).bitwiseAND(
-                            F.lit((1 << w) - 1)
-                        )
-                        for off, w in zip(offsets, widths)
-                    ]
-                )
+                F.array(*[chunk_expr(off, w) for off, w in zip(offsets, widths)])
             ).alias("chunk_idx", "chunk_val"),
         )
         cands = _capped_bucket_pairs(
@@ -569,7 +576,8 @@ def simhash_near_dups(
         )
         return out.localCheckpoint(eager=True)
     finally:
-        fp.unpersist()
+        if we_persisted:
+            fp.unpersist()
 
 
 # --------------------------------------------------------------------------

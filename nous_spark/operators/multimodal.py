@@ -143,8 +143,15 @@ def decode_audio(content: bytes, strict: bool = False) -> tuple[np.ndarray, int]
     ``NotImplementedError`` under ``strict`` when absent."""
     if content.startswith(_AUD_MAGIC):
         return _decode_audio_fake(content)
+    wav_err: ValueError | None = None
     if content[:4] == b"RIFF":
-        return _decode_audio_wav(content)
+        try:
+            return _decode_audio_wav(content)
+        except ValueError as exc:
+            # float/24-bit WAV or a RIFF non-WAVE container: the strict
+            # pure-numpy parser can't take it, but soundfile (when
+            # installed) can — fall through instead of raising here
+            wav_err = exc
     try:
         import soundfile  # noqa: F401  (absent in this container)
         import io
@@ -158,6 +165,8 @@ def decode_audio(content: bytes, strict: bool = False) -> tuple[np.ndarray, int]
             raise NotImplementedError(
                 "real audio decode requires soundfile, which is not installed"
             ) from exc
+        if wav_err is not None:
+            raise ValueError(f"{wav_err} (and soundfile unavailable)") from wav_err
         raise ValueError("unrecognized audio payload and soundfile unavailable") from exc
 
 
@@ -267,10 +276,16 @@ def decode_image(content: bytes, strict: bool = False) -> np.ndarray:
     """
     if content.startswith(_IMG_MAGIC):
         return _decode_image_fake(content)
-    if content[:2] == b"BM":
-        return _decode_image_bmp(content)
-    if content[:2] in (b"P6", b"P3"):
-        return _decode_image_ppm(content)
+    np_err: ValueError | None = None
+    if content[:2] == b"BM" or content[:2] in (b"P6", b"P3"):
+        try:
+            if content[:2] == b"BM":
+                return _decode_image_bmp(content)
+            return _decode_image_ppm(content)
+        except ValueError as exc:
+            # unsupported variant (RLE/8-bit BMP, 16-bit PPM): PIL can
+            # take those when installed — fall through instead of raising
+            np_err = exc
     try:
         from PIL import Image  # noqa: F401  (absent in this container)
         import io
@@ -281,6 +296,8 @@ def decode_image(content: bytes, strict: bool = False) -> np.ndarray:
             raise NotImplementedError(
                 "real image decode requires PIL, which is not installed"
             ) from exc
+        if np_err is not None:
+            raise ValueError(f"{np_err} (and PIL unavailable)") from np_err
         raise ValueError("unrecognized image payload and PIL unavailable") from exc
 
 

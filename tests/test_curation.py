@@ -86,3 +86,61 @@ def test_tfidf_topk_semantics(spark):
     assert by_doc[1][0]["term"] == "beta"
     assert by_doc[2][0]["term"] == "gamma"
     assert all(r["score"] == 0.0 for rows in by_doc.values() for r in rows if r["term"] == "common")
+
+
+def test_pack_sequences_sharded_caps_window_partitions(spark):
+    """n_shards caps the hot-group window (the CLAUDE.md hot-key-cap
+    invariant): every (group, shard) window partition is strictly
+    smaller than the group, sequence ids stay collision-free across
+    shards (local*n_shards+shard namespacing), shard assignment is
+    deterministic, and packing invariants (assignment, conservation,
+    budget quantization) hold per shard."""
+    from nous_spark.operators.curation import hash_shard_col
+
+    n_shards = 4
+    docs = spark.createDataFrame(
+        [(i, "en", " ".join(["w"] * (50 + i % 37))) for i in range(400)],
+        "doc_id long, lang string, text string",
+    )
+    out = pack_sequences(docs, budget_tokens=500, n_shards=n_shards).collect()
+    assert len(out) == 400  # every doc assigned exactly once
+
+    shard_of = {
+        r["doc_id"]: r["s"]
+        for r in docs.select(
+            "doc_id", hash_shard_col(F.col("doc_id"), n_shards).alias("s")
+        ).collect()
+    }
+    # the window partition bound: no shard holds the whole group
+    by_shard: dict[int, int] = {}
+    for did, s in shard_of.items():
+        by_shard[s] = by_shard.get(s, 0) + 1
+    assert len(by_shard) == n_shards  # 400 md5 draws hit all 4 shards
+    assert max(by_shard.values()) < 400
+    # seq_id namespacing: a sequence's shard is recoverable as
+    # seq_id % n_shards and matches every member's md5 shard
+    for r in out:
+        assert r["seq_id"] % n_shards == shard_of[r["doc_id"]]
+    # packing invariants hold WITHIN each shard
+    per_seq: dict[int, int] = {}
+    for r in sorted(out, key=lambda r: r["doc_id"]):
+        per_seq[r["seq_id"]] = per_seq.get(r["seq_id"], 0) + r["n_tokens"]
+    max_doc = max(r["n_tokens"] for r in out)
+    assert all(tok < 500 + max_doc for tok in per_seq.values())
+    assert sum(per_seq.values()) == sum(r["n_tokens"] for r in out)
+    # per shard, local ids are contiguous from 0
+    for s in range(n_shards):
+        locals_ = sorted({sid // n_shards for sid in per_seq if sid % n_shards == s})
+        assert locals_ == list(range(len(locals_)))
+
+
+def test_pack_sequences_single_shard_unchanged(spark):
+    """n_shards=1 is byte-identical to the unsharded form (the default
+    contract existing callers rely on)."""
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 3 else "fr", " ".join(["w"] * (30 + i % 11))) for i in range(120)],
+        "doc_id long, lang string, text string",
+    )
+    base = pack_sequences(docs, budget_tokens=300)
+    one = pack_sequences(docs, budget_tokens=300, n_shards=1)
+    assert base.exceptAll(one).isEmpty() and one.exceptAll(base).isEmpty()

@@ -116,6 +116,44 @@ def test_simhash_radius_contract(spark):
     assert out3 == []
 
 
+def test_simhash_radius_zero_full_word_chunk(spark):
+    """max_hamming=0 puts the whole 64-bit word in ONE chunk — the mask
+    literal (1<<64)-1 would overflow Spark's long (advisor finding), so
+    the full-width chunk must skip the mask. Exact-duplicate
+    fingerprints (including negative longs, i.e. bit 63 set) match;
+    hamming-1 neighbors don't."""
+    from nous_spark.operators.dedup import simhash_near_dups
+
+    neg = -(1 << 62) | 5  # bit-63 territory: sign handling matters
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(1, 5)], "doc_id long, text string"
+    )
+    fps = spark.createDataFrame(
+        [(1, neg), (2, neg), (3, neg ^ 1), (4, 7)], "doc_id long, simhash long"
+    )
+    out = simhash_near_dups(docs, max_hamming=0, fingerprints=fps).collect()
+    assert {(r["id_a"], r["id_b"], r["hamming"]) for r in out} == {(1, 2, 0)}
+
+
+def test_simhash_caller_cache_preserved(spark):
+    """A caller-persisted fingerprints frame must stay cached after the
+    call (advisor finding: the finally-block unpersist was evicting it);
+    a frame the operator builds itself is still cleaned up."""
+    from nous_spark.operators.dedup import simhash_near_dups
+
+    docs = spark.createDataFrame([(1, "x"), (2, "y")], "doc_id long, text string")
+    fps = spark.createDataFrame(
+        [(1, 3), (2, 3)], "doc_id long, simhash long"
+    ).persist()
+    try:
+        fps.count()
+        out = simhash_near_dups(docs, max_hamming=1, fingerprints=fps).collect()
+        assert {(r["id_a"], r["id_b"]) for r in out} == {(1, 2)}
+        assert fps.is_cached  # reuse-across-radii cache survives
+    finally:
+        fps.unpersist()
+
+
 def test_ngram_stop_shingle_cap(spark):
     """A shingle shared by every doc is dropped (df cap) before the
     equi-join; pairs emerge only from rare-shingle overlap."""
