@@ -669,10 +669,15 @@ def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH ANN with multiprobe (4 lowest-margin flip buckets)."""
+    """Hyperplane-LSH ANN with multiprobe (query bucket + 3 lowest-
+    margin flip buckets). Fully oracled: the generated SQL replicates
+    the seeded planes (literals), the sign-bit bucketing, the margin-
+    ranked single/double/triple flip enumeration (same float addition
+    order), and the exact cosine top-k — see _build_ann_lsh_sql."""
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-    return lsh_ann_topk(emb, [float(x) for x in qvec], k=10, n_planes=8, n_probes=4)
+    out = lsh_ann_topk(emb, [float(x) for x in qvec], k=10, n_planes=8, n_probes=4)
+    return out.select("vec_id", F.round("score", 4).alias("score"), "rank")
 
 
 def _q_emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -781,17 +786,23 @@ def _q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: deterministic sampled-centroid training, nprobe=4 of 16
-    inverted lists, exact cosine within the probed lists."""
+    """IVF ANN with ORACLE-REPLICABLE coarse centroids: the 16 corpus
+    vectors with the smallest cross-engine md5 draw (ivf_centroids_md5),
+    nprobe=4 inverted lists, exact cosine within the probed lists. The
+    md5 selection is a pure function of vec_id, so the DuckDB oracle
+    computes the identical centroid set, assignment, probe order, and
+    top-k (value-hash gate); the Lloyd-trained production path
+    (ivf_train_centroids) is exactness-tested in tests/test_ivf.py —
+    its float iteration order can't be hash-matched cross-engine."""
     from nous_spark.operators.similarity import (
         ivf_ann_topk,
         ivf_assign,
-        ivf_train_centroids,
+        ivf_centroids_md5,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-    cents = ivf_train_centroids(emb, n_lists=16, sample_size=2000)
+    cents = ivf_centroids_md5(emb, n_lists=16, seed=42)
     assign = ivf_assign(emb, cents)
     out = ivf_ann_topk(emb, assign, cents, [float(x) for x in qvec], k=10, nprobe=4)
     return out.select("vec_id", F.round("score", 4).alias("score"), "rank")
@@ -1051,6 +1062,142 @@ def _build_emb_lsh_sql() -> str:
     """
 
 
+def _build_ann_lsh_sql() -> str:
+    """DuckDB mirror of the FULL ann_lsh_topk query (n_planes=8,
+    n_probes=4, k=10, seed=42, dim=64, query = vec_id 0's embedding).
+
+    The planes are GENERATED from similarity.hyperplane_planes and
+    embedded as DOUBLE[] literals (no drift). The SQL replicates every
+    stage of similarity.lsh_ann_topk: sign-bit bucket per vector, the
+    query's own bucket, the multiprobe flip enumeration — planes ranked
+    by |q·plane| ascending (row_number over (abs(proj), plane index),
+    matching numpy's stable argsort), single/double/triple flip masks
+    whose margins are summed IN THE SAME LEFT-ASSOCIATIVE RANK ORDER as
+    the Python loop ((m_i + m_j) + m_l for rank i<j<l — IEEE addition
+    is deterministic given operand order, so the sums are bit-identical)
+    — the 3 cheapest masks by (margin, mask) XOR'd onto the query
+    bucket, the bucket-pruned candidate semi-join, and the exact cosine
+    top-10 with (score desc, vec_id) tiebreak. Sign bits and rank order
+    agree across engines for the same reason as the emb_near_dup_lsh
+    oracle: the testdata projections/margins are nowhere near the 1-ulp
+    boundary where numpy-vs-DuckDB summation order could flip them.
+    """
+    from nous_spark.operators.similarity import hyperplane_planes
+
+    n_planes, dim, seed, k, n_flips = 8, 64, 42, 10, 3  # n_probes=4 -> 3 flips
+    planes = hyperplane_planes(n_planes, dim, seed)
+    rows = []
+    for j in range(n_planes):
+        vec = ", ".join(repr(float(x)) for x in planes[j])
+        rows.append(f"({j}, {1 << j}, [{vec}]::DOUBLE[])")
+    values = ",\n              ".join(rows)
+    return f"""
+        WITH planes(j, w, p) AS (
+          VALUES {values}
+        ),
+        q AS (
+          SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+        ),
+        qproj AS (
+          SELECT pl.j, pl.w, list_dot_product(q.qv, pl.p) AS proj
+          FROM planes pl, q
+        ),
+        qb AS (
+          SELECT CAST(sum(CASE WHEN proj > 0 THEN w ELSE 0 END) AS BIGINT)
+                   AS bucket
+          FROM qproj
+        ),
+        ranked AS (
+          SELECT w, abs(proj) AS m,
+                 row_number() OVER (ORDER BY abs(proj), j) AS r
+          FROM qproj
+        ),
+        masks AS (
+          SELECT m AS margin, CAST(w AS BIGINT) AS mask FROM ranked
+          UNION ALL
+          SELECT a.m + b.m, CAST(a.w | b.w AS BIGINT)
+          FROM ranked a JOIN ranked b ON a.r < b.r
+          UNION ALL
+          SELECT (a.m + b.m) + c.m, CAST((a.w | b.w) | c.w AS BIGINT)
+          FROM ranked a JOIN ranked b ON a.r < b.r
+                        JOIN ranked c ON b.r < c.r
+        ),
+        probes AS (
+          SELECT bucket FROM qb
+          UNION ALL
+          SELECT xor(qb.bucket, f.mask)
+          FROM (SELECT mask FROM masks ORDER BY margin, mask LIMIT {n_flips}) f,
+               qb
+        ),
+        b AS (
+          SELECT v.vec_id,
+                 CAST(sum(CASE WHEN list_dot_product(v.embedding::DOUBLE[], pl.p) > 0
+                               THEN pl.w ELSE 0 END) AS BIGINT) AS bucket
+          FROM embeddings v CROSS JOIN planes pl
+          GROUP BY v.vec_id
+        ),
+        cand AS (SELECT b.vec_id FROM b JOIN probes USING (bucket)),
+        scored AS (
+          SELECT v.vec_id,
+                 list_cosine_similarity(v.embedding::DOUBLE[], q.qv) AS s
+          FROM embeddings v JOIN cand USING (vec_id), q
+        )
+        SELECT vec_id, round(s, 4) AS score,
+               CAST(row_number() OVER (ORDER BY s DESC, vec_id) AS BIGINT) AS rank
+        FROM scored ORDER BY s DESC, vec_id LIMIT {k}
+    """
+
+
+# DuckDB mirror of the FULL ann_ivf_topk query (n_lists=16, nprobe=4,
+# k=10, seed=42, query = vec_id 0's embedding). No generated literals
+# needed: the md5 centroid draw (ivf_centroids_md5) is plain SQL — the
+# 16 vectors with the smallest ('0x'||substr(md5(id||':42'),1,8))::BIGINT,
+# (draw, id) order, list_id = position. Assignment = argmax cosine with
+# first-index tiebreak (numpy argmax == ORDER BY cos DESC, list_id);
+# probe order = cosine(centroid, query) DESC, list_id LIMIT 4 (numpy's
+# stable argsort of the negated sims); exact cosine top-10 inside the
+# probed lists. list_cosine_similarity normalizes internally, matching
+# the operator's normalize-then-dot to well beyond the round(,4) gate.
+_ANN_IVF_SQL = """
+    WITH draw AS (
+      SELECT vec_id, embedding,
+             ('0x' || substr(md5(vec_id::VARCHAR || ':42'), 1, 8))::BIGINT AS h
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) AS list_id,
+             embedding::DOUBLE[] AS c
+      FROM draw ORDER BY h, vec_id LIMIT 16
+    ),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    assign AS (
+      SELECT v.vec_id, c.list_id,
+             row_number() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY list_cosine_similarity(v.embedding::DOUBLE[], c.c) DESC,
+                        c.list_id
+             ) AS rn
+      FROM embeddings v CROSS JOIN cents c
+    ),
+    probe AS (
+      SELECT c.list_id
+      FROM cents c, q
+      ORDER BY list_cosine_similarity(c.c, q.qv) DESC, c.list_id
+      LIMIT 4
+    ),
+    cand AS (
+      SELECT a.vec_id FROM assign a JOIN probe USING (list_id) WHERE a.rn = 1
+    ),
+    scored AS (
+      SELECT v.vec_id, list_cosine_similarity(v.embedding::DOUBLE[], q.qv) AS s
+      FROM embeddings v JOIN cand USING (vec_id), q
+    )
+    SELECT vec_id, round(s, 4) AS score,
+           CAST(row_number() OVER (ORDER BY s DESC, vec_id) AS BIGINT) AS rank
+    FROM scored ORDER BY s DESC, vec_id LIMIT 10
+"""
+
+
 # Exact all-pairs word-5-gram Jaccard pairs at threshold 0.5 — the
 # oracle-side pair set SHARED by doc_minhash_near_dups (which emits the
 # pairs) and doc_dedup_corpus (which clusters them): one definition, the
@@ -1294,6 +1441,8 @@ def oracle_sql() -> dict[str, str]:
             FROM events ORDER BY ts DESC, event_id DESC LIMIT 20 OFFSET 10
         """,
         "usage_cost_rollup": _build_usage_cost_sql(),
+        "ann_lsh_topk": _build_ann_lsh_sql(),
+        "ann_ivf_topk": _ANN_IVF_SQL,
         "emb_near_dup_lsh": _build_emb_lsh_sql(),
         "doc_simhash_md5_near_dups": _build_simhash_md5_sql(),
         "media_image_features": _build_media_features_sql(),

@@ -176,6 +176,40 @@ def ivf_train_centroids(
     return cents
 
 
+def ivf_centroids_md5(
+    vectors: DataFrame,
+    n_lists: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Oracle-replicable IVF coarse centroids: the ``n_lists`` corpus
+    vectors with the smallest cross-engine md5 draw (the
+    curation.hash_uniform_col recipe), in (draw, id) order,
+    L2-normalized.
+
+    No Lloyd refinement — the selection is a pure function of the ids,
+    so DuckDB replicates it EXACTLY (``ORDER BY md5-draw, id LIMIT n``),
+    which is what lets ann_ivf_topk carry a full value-hash oracle.
+    The Lloyd-trained path (ivf_train_centroids) remains the production
+    default — its float iteration order is engine-specific, so it can
+    only be rows/pytest-gated, never hash-matched cross-engine. With
+    nprobe == n_lists both variants degenerate to the same exact scan.
+    """
+    from nous_spark.operators.curation import hash_uniform_col
+
+    rows = (
+        vectors.select(id_col, vec_col)
+        .orderBy(hash_uniform_col(F.col(id_col), seed), F.col(id_col))
+        .limit(n_lists)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("ivf_centroids_md5: no vectors to pick from")
+    x = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    return x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+
+
 def ivf_assign(
     vectors: DataFrame,
     centroids: np.ndarray,
