@@ -837,6 +837,29 @@ def _q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal video: synthetic binaries (REAL Y4M payloads with
+    C444/C420jpeg plane layouts + the fake FVID format) -> frame
+    sampling (Y4M frames genuinely decoded and re-encoded as BMP) ->
+    per-frame feature extraction. Oracle-checked like
+    media_image_features: the generated oracle pins the expected
+    (frame_idx, width, height, mean_r, std_gray) VALUES computed from
+    the SAME synth_media_row -> sampled_frame_bytes ->
+    image_feature_stats pure functions the Spark operators run."""
+    from nous_spark.operators.multimodal import frame_features, sample_frames
+
+    media = synth_media(spark, 300, seed=42)
+    feats = frame_features(sample_frames(media, every_n=2), n_hist=8)
+    return feats.select(
+        "media_id",
+        "frame_idx",
+        "width",
+        "height",
+        F.round(F.element_at("features", 1).cast("double"), 4).alias("mean_r"),
+        F.round(F.element_at("features", 4).cast("double"), 4).alias("std_gray"),
+    )
+
+
 def _q_kg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The real extraction pipeline on deterministic synthetic pages:
     pages -> text -> mentions/triples -> linked (subj, pred, obj)."""
@@ -854,8 +877,15 @@ def _q_kg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER CONTRACT: the driver's CORRECTNESS artifact evaluates the
+    # FIRST 50 entries only. All 52 oracled entries precede the 2
+    # rows-only ones, and the two overflow slots (51-52) hold oracled
+    # queries with no unique SURVEY §2 responsibility (tpch_q18,
+    # customers_with_1995_orders — green in the r1-r3 driver artifacts,
+    # still pytest-gated via test_oracle_parity, which runs ALL entries).
     return {
         "kg_recall_lookup": _q_kg_recall,
+        "kg_pipeline_triples": _q_kg_pipeline,
         "kg_fact_refcount": _q_kg_refcount,
         "kg_predicate_traversal": _q_kg_traversal,
         "ranked_pick_latest_order": _q_ranked_pick,
@@ -868,15 +898,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3_shipping_priority": _q_tpch_q3,
         "tpch_q5_local_supplier": _q_tpch_q5,
         "tpch_q6_forecast_revenue": _q_tpch_q6,
-        "tpch_q18_large_volume": _q_tpch_q18,
         "region_revenue": _q_region_revenue,
-        "customers_with_1995_orders": _q_semi_join,
         "customers_without_orders": _q_anti_join,
         "customer_order_counts": _q_left_outer_counts,
         "nation_segment_collect": _q_collect_distinct,
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_token_stats": _q_doc_token_stats,
         "ann_cosine_scores": _q_ann_cosine,
+        "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "kg_neighborhood_lookup": _q_kg_neighborhood,
         "kg_primary_identifier": _q_kg_primary_identifier,
         "kg_entity_summary": _q_kg_entity_summary,
@@ -903,12 +933,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup_lsh": _q_emb_near_dup_lsh,
         "doc_simhash_md5_near_dups": _q_simhash_md5_near_dups,
         "media_image_features": _q_media_image_features,
-        # rows-only (non-SQL-expressible: seeded sketches / UDF heuristics /
-        # uuid5 point ids)
+        "media_video_features": _q_media_video_features,
+        # oracled overflow (positions 51-52, outside the driver's 50-row
+        # window; fully parity-gated in tests/test_oracle_parity.py)
+        "tpch_q18_large_volume": _q_tpch_q18,
+        "customers_with_1995_orders": _q_semi_join,
+        # rows-only (non-SQL-expressible: xxhash64 sketch, Python query
+        # embedder)
         "doc_simhash_near_dups": _q_simhash_near_dups,
-        "ann_lsh_topk": _q_ann_lsh,
-        "ann_ivf_topk": _q_ann_ivf_topk,
-        "kg_pipeline_triples": _q_kg_pipeline,
         "kg_rag_recall": _q_kg_rag_recall,
     }
 
@@ -1309,6 +1341,46 @@ def _build_media_features_sql() -> str:
     """
 
 
+def _build_video_features_sql() -> str:
+    """DuckDB oracle for media_video_features — the media_image_features
+    pattern: expected per-frame rows computed driver-side from the SAME
+    pure functions the Spark operators execute (multimodal.
+    synth_media_row -> sampled_frame_bytes -> image_feature_stats) and
+    pinned as VALUES. The Y4M rows exercise the real decode chain end to
+    end (YUV4MPEG2 parse, C444/C420 plane reshape+upsample, BT.601
+    YUV->RGB, BMP re-encode, BMP re-decode); FVID rows exercise the fake
+    codec's seed mixing. Same float32-then-half-up-4dp rounding parity
+    as the image oracle."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from nous_spark.operators.multimodal import (
+        image_feature_stats,
+        sampled_frame_bytes,
+        synth_media_row,
+    )
+
+    import numpy as np
+
+    def r4(v: float) -> Decimal:
+        return Decimal(repr(float(np.float32(v)))).quantize(
+            Decimal("0.0001"), ROUND_HALF_UP
+        )
+
+    rows = []
+    for i in range(2, 300, 3):  # media_type cycle: i % 3 == 2 -> video
+        r = synth_media_row(i, seed=42)
+        for fi, frame in sampled_frame_bytes(r["content"], every_n=2):
+            w, h, feats = image_feature_stats(frame, n_hist=8)
+            rows.append(f"({i}, {fi}, {w}, {h}, {r4(feats[0])}, {r4(feats[3])})")
+    values = ",\n              ".join(rows)
+    return f"""
+        SELECT media_id, frame_idx, width, height,
+               mean_r::DOUBLE AS mean_r, std_gray::DOUBLE AS std_gray
+        FROM (VALUES {values})
+             t(media_id, frame_idx, width, height, mean_r, std_gray)
+    """
+
+
 def _build_simhash_md5_sql() -> str:
     """DuckDB full replica of the doc_simhash_md5_near_dups pipeline at
     the entry query's parameters (seed=42, n_bits=32, max_hamming=3 ->
@@ -1446,6 +1518,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_near_dup_lsh": _build_emb_lsh_sql(),
         "doc_simhash_md5_near_dups": _build_simhash_md5_sql(),
         "media_image_features": _build_media_features_sql(),
+        "media_video_features": _build_video_features_sql(),
         "kg_pipeline_triples": _build_pipeline_triples_sql(),
         "doc_stratified_sample": """
             SELECT doc_id, lang FROM documents

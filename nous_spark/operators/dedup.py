@@ -327,10 +327,26 @@ def minhash_verified_near_dups(
     1-(1-s^r)^n_bands ~ 1-1e-6 at s>=0.87, r=4, b=16).
     """
     sigs = minhash_signatures(docs, id_col, text_col, n_hashes, shingle_k, seed).persist()
+    # candidate pairs feed THREE consumers (the id prune below + both
+    # verify join sides) — persist so banding runs once
+    cands = None
+    shingled = None
     try:
-        cands = lsh_candidate_pairs(sigs, id_col, n_bands, n_hashes, max_bucket)
-        shingled = docs.select(
-            F.col(id_col), _shingle_hash_arr(text_col, shingle_k).alias("sh")
+        cands = lsh_candidate_pairs(sigs, id_col, n_bands, n_hashes, max_bucket).persist()
+        # shingle ONLY the candidate docs (semi-join prune), and only
+        # ONCE (persist): candidates are bounded by cap x bands, a tiny
+        # fraction of the corpus at scale — re-shingling the full corpus
+        # for each verify join side was the dominant cost of this
+        # operator (round-3 verdict)
+        cand_ids = (
+            cands.select(F.col("id_a").alias(id_col))
+            .unionByName(cands.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        shingled = (
+            docs.join(cand_ids, id_col, "left_semi")
+            .select(F.col(id_col), _shingle_hash_arr(text_col, shingle_k).alias("sh"))
+            .persist()
         )
         sa = shingled.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
         sb = shingled.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
@@ -346,6 +362,10 @@ def minhash_verified_near_dups(
         return out.localCheckpoint(eager=True)
     finally:
         sigs.unpersist()
+        if cands is not None:
+            cands.unpersist()
+        if shingled is not None:
+            shingled.unpersist()
 
 
 # --------------------------------------------------------------------------

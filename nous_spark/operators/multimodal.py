@@ -7,17 +7,18 @@ column; decode / feature-extract / resize / frame-sample are Arrow-batched
 driver or JVM row objects.
 
 Image decode is REAL for BMP (24/32-bit uncompressed, bottom-up and
-top-down) and PPM (P6 binary / P3 ascii), and audio decode is REAL for
-WAV (RIFF chunk walk, 16-bit PCM, any channel count): pure-numpy
-header+sample parsers below, no external codec needed — ``synth_media``
-emits genuine BMP/PPM/WAV payloads alongside the fake formats, and the
-feature operators compute from the actual bytes. Compressed formats
-(JPEG/PNG/MP3/OGG) still go through an import-try for PIL/soundfile
-(absent in this container): ``strict=True`` raises
+top-down) and PPM (P6 binary / P3 ascii), audio decode is REAL for
+WAV (RIFF chunk walk, 16-bit PCM, any channel count), and video decode
+is REAL for Y4M / YUV4MPEG2 (header tag walk, FRAME markers, planar
+C444/C420*/Cmono layouts, BT.601 YUV->RGB): pure-numpy header+sample
+parsers below, no external codec needed — ``synth_media`` emits genuine
+BMP/PPM/WAV/Y4M payloads alongside the fake formats, and the feature
+operators compute from the actual bytes. Compressed formats
+(JPEG/PNG/MP3/OGG/MP4) still go through an import-try for
+PIL/soundfile/PyAV (absent in this container): ``strict=True`` raises
 ``NotImplementedError``; otherwise the deterministic FAKE codec keeps
 the Spark-side plumbing (schema, partitioning, UDF signature, Arrow
-batch shape) testable. Video container parsing remains stubbed the
-same way (a real demuxer needs ffmpeg).
+batch shape) testable.
 
 Scale notes: media rows are large — keep
 ``spark.sql.files.maxPartitionBytes`` low (128 MB) so a partition of
@@ -168,6 +169,174 @@ def decode_audio(content: bytes, strict: bool = False) -> tuple[np.ndarray, int]
         if wav_err is not None:
             raise ValueError(f"{wav_err} (and soundfile unavailable)") from wav_err
         raise ValueError("unrecognized audio payload and soundfile unavailable") from exc
+
+
+# ---------------------------------------------------------------------------
+# REAL video decode: Y4M (YUV4MPEG2) — pure numpy, no external codec
+# ---------------------------------------------------------------------------
+# full-range BT.601 RGB<->YUV — the standard Y4M payload interpretation
+_YUV_FWD = np.array(
+    [
+        [0.299, 0.587, 0.114],
+        [-0.168736, -0.331264, 0.5],
+        [0.5, -0.418688, -0.081312],
+    ]
+)
+_YUV_INV = np.array([[1.0, 0.0, 1.402], [1.0, -0.344136, -0.714136], [1.0, 1.772, 0.0]])
+
+
+def _rgb_to_yuv(px: np.ndarray) -> np.ndarray:
+    yuv = px.astype(np.float64) @ _YUV_FWD.T
+    yuv[..., 1:] += 128.0
+    return np.clip(np.round(yuv), 0, 255).astype(np.uint8)
+
+
+def _yuv_to_rgb(yuv: np.ndarray) -> np.ndarray:
+    f = yuv.astype(np.float64)
+    f[..., 1:] -= 128.0
+    return np.clip(np.round(f @ _YUV_INV.T), 0, 255).astype(np.uint8)
+
+
+def _encode_y4m(
+    frames: np.ndarray, colorspace: str = "C444", fps: tuple[int, int] = (25, 1)
+) -> bytes:
+    """Encode (n, h, w, 3) RGB uint8 frames as a YUV4MPEG2 stream —
+    used by synth_media and tests to produce REAL video payloads.
+    ``C444`` stores full-resolution planes; ``C420jpeg`` subsamples
+    chroma 2x2 (box average) — both per the y4m spec's plain
+    uncompressed planar layout."""
+    n, h, w = frames.shape[:3]
+    header = f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 {colorspace}\n"
+    out = [header.encode("ascii")]
+    for i in range(n):
+        yuv = _rgb_to_yuv(frames[i])
+        out.append(b"FRAME\n")
+        out.append(yuv[..., 0].tobytes())
+        for c in (1, 2):
+            plane = yuv[..., c]
+            if colorspace.startswith("C420"):
+                plane = (
+                    plane.astype(np.uint32)
+                    .reshape(h // 2, 2, w // 2, 2)
+                    .mean(axis=(1, 3))
+                    .round()
+                    .astype(np.uint8)
+                )
+            out.append(plane.tobytes())
+    return b"".join(out)
+
+
+def _decode_video_y4m(content: bytes) -> tuple[np.ndarray, float]:
+    """Parse a YUV4MPEG2 stream to ((n, h, w, 3) RGB uint8 frames, fps).
+
+    Real header walk: the stream header's space-separated W/H/F/C
+    parameter tagging, then one ``FRAME[params]\\n`` marker per frame
+    followed by raw planar YUV. Colorspaces: C444 (full-res planes),
+    C420/C420jpeg/C420mpeg2/C420paldv (2x2-subsampled chroma, upsampled
+    by replication), Cmono (luma only). Other colorspaces raise — the
+    caller's optional-codec fallback takes them."""
+    nl = content.find(b"\n")
+    if nl < 0 or not content.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = None
+    fps = 25.0
+    cs = "C420"  # spec default when the C tag is absent
+    for tok in content[:nl].decode("ascii", "replace").split(" ")[1:]:
+        if not tok:
+            continue
+        if tok[0] == "W":
+            w = int(tok[1:])
+        elif tok[0] == "H":
+            h = int(tok[1:])
+        elif tok[0] == "F":
+            num, den = tok[1:].split(":")
+            fps = int(num) / max(1, int(den))
+        elif tok[0] == "C":
+            cs = tok
+    if not w or not h:
+        raise ValueError("Y4M header missing W/H")
+    if cs.startswith("C444"):
+        plane_shapes = [(h, w), (h, w), (h, w)]
+    elif cs.startswith("C420"):
+        plane_shapes = [(h, w), (h // 2, w // 2), (h // 2, w // 2)]
+    elif cs.startswith("Cmono"):
+        plane_shapes = [(h, w)]
+    else:
+        raise ValueError(f"unsupported Y4M colorspace {cs}")
+    frame_bytes = sum(ph * pw for ph, pw in plane_shapes)
+    pos, frames = nl + 1, []
+    while pos < len(content):
+        fnl = content.find(b"\n", pos)
+        if fnl < 0 or not content[pos : pos + 5] == b"FRAME":
+            raise ValueError("malformed Y4M FRAME marker")
+        pos = fnl + 1
+        if len(content) < pos + frame_bytes:
+            raise ValueError("truncated Y4M frame payload")
+        planes = []
+        for ph, pw in plane_shapes:
+            planes.append(
+                np.frombuffer(content, np.uint8, ph * pw, pos).reshape(ph, pw)
+            )
+            pos += ph * pw
+        if cs.startswith("Cmono"):
+            yuv = np.stack(
+                [planes[0], np.full((h, w), 128, np.uint8), np.full((h, w), 128, np.uint8)],
+                axis=-1,
+            )
+        else:
+            up = [
+                p if p.shape == (h, w) else p.repeat(2, axis=0).repeat(2, axis=1)
+                for p in planes
+            ]
+            yuv = np.stack(up, axis=-1)
+        frames.append(_yuv_to_rgb(yuv))
+    return np.stack(frames) if frames else np.zeros((0, h, w, 3), np.uint8), fps
+
+
+def _decode_video_fake(content: bytes) -> tuple[np.ndarray, float]:
+    """FAKE video decode: each frame is the fake image codec's
+    deterministic pixels for seed (media_id << 8) | frame_idx — the same
+    mixing sample_frames has always used for FVID payloads."""
+    if not content.startswith(_VID_MAGIC):
+        raise ValueError("not a FVID payload")
+    nf, w, h, seed = struct.unpack("<IIIQ", content[4:24])
+    frames = [
+        _decode_image_fake(_fake_image_bytes((int(seed) << 8) | fi, w, h))
+        for fi in range(nf)
+    ]
+    return np.stack(frames) if frames else np.zeros((0, h, w, 3), np.uint8), 25.0
+
+
+def decode_video(content: bytes, strict: bool = False) -> tuple[np.ndarray, float]:
+    """Decode a video binary to ((n_frames, h, w, 3) RGB uint8, fps).
+    Y4M decodes FOR REAL (pure numpy, above); FVID is the deterministic
+    fake; anything else (mp4/webm/...) needs an optional demuxer —
+    ``NotImplementedError`` under ``strict`` when absent."""
+    if content.startswith(_VID_MAGIC):
+        return _decode_video_fake(content)
+    y4m_err: ValueError | None = None
+    if content.startswith(b"YUV4MPEG2"):
+        try:
+            return _decode_video_y4m(content)
+        except ValueError as exc:
+            y4m_err = exc  # exotic colorspace: try the optional demuxer
+    try:
+        import av  # noqa: F401  (absent in this container)
+        import io
+
+        with av.open(io.BytesIO(content)) as container:
+            stream = container.streams.video[0]
+            frames = [f.to_ndarray(format="rgb24") for f in container.decode(stream)]
+            fps = float(stream.average_rate or 25.0)
+        return np.stack(frames), fps
+    except ImportError as exc:
+        if strict:
+            raise NotImplementedError(
+                "real video decode requires PyAV (av), which is not installed"
+            ) from exc
+        if y4m_err is not None:
+            raise ValueError(f"{y4m_err} (and PyAV unavailable)") from y4m_err
+        raise ValueError("unrecognized video payload and PyAV unavailable") from exc
 
 
 def _decode_image_bmp(content: bytes) -> np.ndarray:
@@ -331,8 +500,17 @@ def synth_media_row(i: int, seed: int = 42) -> dict:
         meta = {"n_samples": str(ns), "rate": str(rate), "format": fmt}
     else:
         nf, w, h = 4 + rng.randint(0, 12), 32, 24
-        content = _fake_video_bytes(i, nf, w, h)
-        meta = {"n_frames": str(nf), "width": str(w), "height": str(h), "format": "fvid"}
+        fmt = ("y4m", "fvid")[(i // 3) % 2]
+        if fmt == "y4m":
+            # REAL Y4M payload: deterministic pixels, colorspace
+            # alternating C444 / C420jpeg so both plane layouts are
+            # exercised end to end
+            cs = ("C444", "C420jpeg")[(i // 6) % 2]
+            pixels = rng.randint(0, 256, (nf, h, w, 3), dtype=np.uint8)
+            content = _encode_y4m(pixels, colorspace=cs)
+        else:
+            content = _fake_video_bytes(i, nf, w, h)
+        meta = {"n_frames": str(nf), "width": str(w), "height": str(h), "format": fmt}
     return {
         "media_id": i,
         "url": f"https://example.org/media/{i:08d}",
@@ -453,33 +631,70 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
 FRAMES_SCHEMA = "media_id long, frame_idx int, frame binary"
 
 
+def sampled_frame_bytes(content: bytes, every_n: int = 2) -> list[tuple[int, bytes]]:
+    """Pure per-video frame sampling: every-nth frame as standalone
+    image bytes. Y4M frames decode FOR REAL and re-encode as 24-bit BMP
+    (so downstream image operators run the real decoder on them); FVID
+    frames stay the fake image codec's seed-mixed header (cheap — no
+    pixel materialization for the fake path). Shared by the Spark
+    operator and the generated media_video_features oracle, which pins
+    this function's outputs as VALUES — operator and oracle cannot
+    drift."""
+    if content.startswith(_VID_MAGIC):
+        nf, w, h, seed = struct.unpack("<IIIQ", content[4:24])
+        return [
+            (fi, _fake_image_bytes((int(seed) << 8) | fi, w, h))
+            for fi in range(0, nf, every_n)
+        ]
+    frames, _ = decode_video(content)
+    return [(fi, _encode_bmp(frames[fi])) for fi in range(0, len(frames), every_n)]
+
+
 def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
     """Explode videos into every-nth-frame rows (media_id, frame_idx,
-    frame) — each frame re-encoded as a standalone fake image whose seed
-    mixes (video id, frame idx), so downstream image ops apply to it."""
+    frame), each frame a standalone image binary — REAL BMP for decoded
+    Y4M frames, the fake image header for FVID — so downstream image
+    ops apply to it."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                content = bytes(content)
-                if not content.startswith(_VID_MAGIC):
-                    raise ValueError("not a FVID payload")
-                nf, w, h, seed = struct.unpack("<IIIQ", content[4:24])
-                for fi in range(0, nf, every_n):
-                    rows.append(
-                        {
-                            "media_id": int(mid),
-                            "frame_idx": fi,
-                            "frame": _fake_image_bytes((int(seed) << 8) | fi, w, h),
-                        }
-                    )
+                for fi, frame in sampled_frame_bytes(bytes(content), every_n):
+                    rows.append({"media_id": int(mid), "frame_idx": fi, "frame": frame})
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame"])
 
     return (
         media.filter(F.col("media_type") == "video")
         .select("media_id", "content")
         .mapInPandas(gen, FRAMES_SCHEMA)
+    )
+
+
+def frame_features(frames: DataFrame, n_hist: int = 8) -> DataFrame:
+    """Per-frame image features over a sample_frames output — the video
+    analog of image_features, reusing the same pure feature math."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, fi, frame in zip(pdf["media_id"], pdf["frame_idx"], pdf["frame"]):
+                w, h, feats = image_feature_stats(bytes(frame), n_hist)
+                out.append(
+                    {
+                        "media_id": int(mid),
+                        "frame_idx": int(fi),
+                        "width": w,
+                        "height": h,
+                        "features": feats,
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_idx", "width", "height", "features"]
+            )
+
+    return frames.select("media_id", "frame_idx", "frame").mapInPandas(
+        gen, "media_id long, frame_idx int, width int, height int, features array<float>"
     )
 
 

@@ -1,9 +1,10 @@
 """Multimodal tests: binary columns + typed metadata flow through
 Arrow-batched mapInPandas operators with stable schemas and
-deterministic results. Image decode is REAL for BMP/PPM (pure-numpy
-parsers, exercised on handcrafted byte layouts below); audio/video
-codecs remain stubs and these tests pin the Spark-side contract a real
-PIL/ffmpeg swap-in must keep."""
+deterministic results. Decode is REAL for BMP/PPM images, PCM-16 WAV
+audio, and Y4M video (pure-numpy parsers, exercised on handcrafted
+byte layouts below); compressed formats (JPEG/PNG/MP3/MP4) go through
+optional-codec import-tries and these tests pin the Spark-side
+contract a real PIL/soundfile/PyAV swap-in must keep."""
 
 from __future__ import annotations
 
@@ -224,3 +225,114 @@ def test_audio_features(media):
     assert len(rows) == media.filter(F.col("media_type") == "audio").count()
     for r in rows:
         assert r["duration_sec"] > 0 and r["rms"] > 0 and r["zero_crossings"] > 0
+
+
+# ---------------------------------------------------------------------------
+# REAL Y4M video decode (round 4)
+# ---------------------------------------------------------------------------
+def test_y4m_c444_round_trip_near_lossless():
+    """C444 stores full-resolution planes: the only loss is BT.601
+    quantization, bounded at <=2 levels per channel."""
+    from nous_spark.operators.multimodal import _decode_video_y4m, _encode_y4m
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, (4, 24, 32, 3), dtype=np.uint8)
+    dec, fps = _decode_video_y4m(_encode_y4m(px, "C444", fps=(30, 1)))
+    assert dec.shape == px.shape and fps == 30.0
+    assert int(np.abs(dec.astype(int) - px.astype(int)).max()) <= 2
+
+
+def test_y4m_c420_and_mono_layouts():
+    """C420 carries quarter-size chroma planes (smooth regions survive
+    the subsample+replicate round trip); Cmono carries luma only."""
+    from nous_spark.operators.multimodal import (
+        _decode_video_y4m,
+        _encode_y4m,
+        _rgb_to_yuv,
+    )
+
+    # constant-color frames: chroma is flat, so 2x2 subsampling is exact
+    px = np.full((2, 16, 16, 3), (200, 40, 90), dtype=np.uint8)
+    dec, _ = _decode_video_y4m(_encode_y4m(px, "C420jpeg"))
+    assert dec.shape == px.shape
+    assert int(np.abs(dec.astype(int) - px.astype(int)).max()) <= 2
+    # hand-built Cmono stream
+    gray = _rgb_to_yuv(px[0])[..., 0]
+    mono = b"YUV4MPEG2 W16 H16 F25:1 Cmono\n" + b"FRAME\n" + gray.tobytes()
+    dmono, _ = _decode_video_y4m(mono)
+    assert dmono.shape == (1, 16, 16, 3)
+    # R==G==B per pixel (U=V=128 -> gray), close to the luma
+    assert (dmono[0, ..., 0] == dmono[0, ..., 1]).all()
+    assert (dmono[0, ..., 1] == dmono[0, ..., 2]).all()
+
+
+def test_y4m_malformed_payloads_raise():
+    from nous_spark.operators.multimodal import _decode_video_y4m
+
+    with pytest.raises(ValueError):  # missing W/H
+        _decode_video_y4m(b"YUV4MPEG2 F25:1\nFRAME\n")
+    with pytest.raises(ValueError):  # truncated frame payload
+        _decode_video_y4m(b"YUV4MPEG2 W4 H4 C444\nFRAME\n" + b"\x00" * 10)
+    with pytest.raises(ValueError):  # bad frame marker
+        _decode_video_y4m(b"YUV4MPEG2 W2 H2 C444\nBOGUS\n" + b"\x00" * 12)
+
+
+def test_decode_video_dispatch_and_strict():
+    """FVID -> fake frames; Y4M -> real; unknown container -> strict
+    NotImplementedError naming the optional dependency (PyAV)."""
+    from nous_spark.operators.multimodal import (
+        _fake_video_bytes,
+        decode_video,
+    )
+
+    frames, fps = decode_video(_fake_video_bytes(9, 3, 8, 6))
+    assert frames.shape == (3, 6, 8, 3) and fps == 25.0
+    with pytest.raises(NotImplementedError, match="PyAV"):
+        decode_video(b"\x00\x00\x00 ftypmp42----", strict=True)
+    with pytest.raises(ValueError):
+        decode_video(b"\x00\x00\x00 ftypmp42----", strict=False)
+
+
+def test_decode_image_strict_names_pil():
+    """The strict-mode error for compressed images names the optional
+    dependency (PIL) — the README's real-corpus JPEG/PNG note is backed
+    by a discoverable error message."""
+    with pytest.raises(NotImplementedError, match="PIL"):
+        decode_image(b"\x89PNG\r\n\x1a\nxxxx", strict=True)
+
+
+def test_unsupported_wav_falls_through_with_context():
+    """A float-format WAV (format tag 3) is beyond the pure-numpy PCM-16
+    parser; without soundfile installed the error carries the original
+    unsupported-variant context instead of claiming the payload is
+    unrecognized (advisor finding: the fallback was unreachable)."""
+    from nous_spark.operators.multimodal import decode_audio
+
+    fmt = struct.pack("<HHIIHH", 3, 1, 16000, 64000, 4, 32)  # IEEE float
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", 8) + b"\x00" * 8
+    wav = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    with pytest.raises(ValueError, match="unsupported WAV"):
+        decode_audio(wav)
+    with pytest.raises(NotImplementedError, match="soundfile"):
+        decode_audio(wav, strict=True)
+
+
+def test_frame_features_on_mixed_real_and_fake_videos(spark):
+    """frame_features over sample_frames: Y4M rows decode genuinely
+    (BMP-re-encoded frames), FVID rows ride the fake codec; every
+    sampled frame of every video yields exactly one feature row with
+    the video's frame geometry."""
+    from nous_spark.operators.multimodal import frame_features
+
+    media = synth_media(spark, N)
+    vids = media.filter(F.col("media_type") == "video")
+    fmts = {r["meta"]["format"] for r in vids.collect()}
+    assert fmts == {"y4m", "fvid"}  # both payload kinds present
+    out = frame_features(sample_frames(media, every_n=2), n_hist=8).collect()
+    expected = sum(
+        -(-int(r["meta"]["n_frames"]) // 2) for r in vids.collect()
+    )
+    assert len(out) == expected
+    assert all(r["width"] == 32 and r["height"] == 24 for r in out)
+    assert all(len(r["features"]) == 12 for r in out)
