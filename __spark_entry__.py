@@ -837,6 +837,50 @@ def _q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-doc repetition signals (duplicate-line
+    fraction by count and by chars, top word-2-gram char coverage) —
+    the template/boilerplate-loop filter of a pretraining pipeline."""
+    from nous_spark.operators.text import repetition_signals
+
+    return repetition_signals(_t(spark, sf_dir, "documents"))
+
+
+def _q_doc_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document line dedup: lines occurring in >= 2
+    distinct docs are removed corpus-wide (first doc keeps its copy);
+    the cleaned text is value-hash-checked end to end."""
+    from nous_spark.operators.dedup import dedup_lines_corpus
+
+    return dedup_lines_corpus(_t(spark, sf_dir, "documents"), min_df=2)
+
+
+def _q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style benchmark decontamination: docs with doc_id % 10 == 0
+    stand in for the eval/benchmark set; every other doc is flagged if
+    it shares any word 8-gram with that set (distinct-gram counts are
+    value-hash-checked)."""
+    from nous_spark.operators.dedup import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    return decontaminate(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        n=8,
+    )
+
+
+def _q_doc_top_k_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota capping (the 'at most k pages per domain' crawl
+    rule): two-phase sharded top-5 by (n_chars desc, doc_id) — exactly
+    equals the single-window row_number() <= 5."""
+    from nous_spark.operators.curation import top_k_per_group
+
+    return top_k_per_group(
+        _t(spark, sf_dir, "documents"), k=5, n_shards=8
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
 def _q_media_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal video: synthetic binaries (REAL Y4M payloads with
     C444/C420jpeg plane layouts + the fake FVID format) -> frame
@@ -934,10 +978,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash_md5_near_dups": _q_simhash_md5_near_dups,
         "media_image_features": _q_media_image_features,
         "media_video_features": _q_media_video_features,
-        # oracled overflow (positions 51-52, outside the driver's 50-row
+        # oracled overflow (positions 51+, outside the driver's 50-row
         # window; fully parity-gated in tests/test_oracle_parity.py)
         "tpch_q18_large_volume": _q_tpch_q18,
         "customers_with_1995_orders": _q_semi_join,
+        "doc_repetition_signals": _q_doc_repetition_signals,
+        "doc_dedup_lines": _q_doc_dedup_lines,
+        "doc_decontaminate": _q_doc_decontaminate,
+        "doc_top_k_per_source": _q_doc_top_k_per_source,
         # rows-only (non-SQL-expressible: xxhash64 sketch, Python query
         # embedder)
         "doc_simhash_near_dups": _q_simhash_near_dups,
@@ -1519,6 +1567,126 @@ def oracle_sql() -> dict[str, str]:
         "doc_simhash_md5_near_dups": _build_simhash_md5_sql(),
         "media_image_features": _build_media_features_sql(),
         "media_video_features": _build_video_features_sql(),
+        "doc_repetition_signals": r"""
+            WITH lines AS (
+              SELECT doc_id, trim(l) AS line
+              FROM documents, UNNEST(string_split(text, chr(10))) AS t(l)
+              WHERE trim(l) != ''
+            ),
+            lc AS (
+              SELECT doc_id, line, count(*) AS cnt, length(line) AS len
+              FROM lines GROUP BY 1, 2
+            ),
+            lsig AS (
+              SELECT doc_id,
+                     CAST(sum(cnt) AS BIGINT) AS n_lines,
+                     round((sum(cnt) - count(*)) / sum(cnt), 4) AS dup_line_frac,
+                     round(sum(CASE WHEN cnt > 1 THEN cnt * len ELSE 0 END)
+                             / sum(cnt * len), 4) AS dup_line_char_frac
+              FROM lc GROUP BY doc_id
+            ),
+            w AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\s+') AS ws,
+                     length(regexp_replace(trim(text), '\s+', '', 'g'))
+                       AS word_chars
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, word_chars,
+                     array_to_string(ws[i:i+1], ' ') AS gram
+              FROM w, UNNEST(range(1, len(ws))) AS t(i)
+              WHERE len(ws) >= 2
+            ),
+            gc AS (
+              SELECT doc_id, word_chars, gram, count(*) AS cnt
+              FROM grams GROUP BY 1, 2, 3
+            ),
+            top AS (
+              SELECT doc_id,
+                     round(cnt * (length(gram) - 1) / word_chars, 4)
+                       AS top_2gram_char_frac,
+                     row_number() OVER (
+                       PARTITION BY doc_id ORDER BY cnt DESC, gram ASC
+                     ) AS rn
+              FROM gc
+            )
+            SELECT d.doc_id,
+                   coalesce(n_lines, 0) AS n_lines,
+                   coalesce(dup_line_frac, 0.0) AS dup_line_frac,
+                   coalesce(dup_line_char_frac, 0.0) AS dup_line_char_frac,
+                   coalesce(top_2gram_char_frac, 0.0) AS top_2gram_char_frac
+            FROM documents d
+            LEFT JOIN lsig USING (doc_id)
+            LEFT JOIN (SELECT doc_id, top_2gram_char_frac FROM top WHERE rn = 1)
+                 USING (doc_id)
+        """,
+        "doc_dedup_lines": """
+            WITH lines AS (
+              SELECT doc_id, i AS pos, trim(l[i]) AS line
+              FROM (SELECT doc_id, string_split(text, chr(10)) AS l
+                    FROM documents),
+                   UNNEST(range(1, len(l) + 1)) AS t(i)
+              WHERE trim(l[i]) != ''
+            ),
+            stats AS (
+              SELECT line, count(DISTINCT doc_id) AS df,
+                     min(doc_id) AS first_id
+              FROM lines GROUP BY line
+            ),
+            kept AS (
+              SELECT l.doc_id, l.pos, l.line,
+                     (s.df < 2 OR l.doc_id = s.first_id) AS keep
+              FROM lines l JOIN stats s USING (line)
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(sum(CASE WHEN keep THEN 1 END), 0) AS BIGINT)
+                     AS n_kept,
+                   CAST(coalesce(sum(CASE WHEN NOT keep THEN 1 END), 0) AS BIGINT)
+                     AS n_dropped,
+                   coalesce(
+                     string_agg(CASE WHEN keep THEN line END, chr(10)
+                                ORDER BY pos),
+                     '') AS text_clean
+            FROM documents d LEFT JOIN kept k USING (doc_id)
+            GROUP BY d.doc_id
+        """,
+        "doc_decontaminate": """
+            WITH tok AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS gram
+              FROM tok, UNNEST(range(1, len(ws) - 6)) AS t(i)
+              WHERE len(ws) >= 8
+            ),
+            eval_g AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 0),
+            train_g AS (
+              SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 10 != 0
+            ),
+            hits AS (
+              SELECT doc_id, count(*) AS n_shared_grams
+              FROM train_g JOIN eval_g USING (gram) GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   coalesce(n_shared_grams, 0) AS n_shared_grams,
+                   coalesce(n_shared_grams, 0) > 0 AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 10 != 0) d
+            LEFT JOIN hits USING (doc_id)
+        """,
+        "doc_top_k_per_source": """
+            SELECT source, doc_id, n_chars,
+                   CAST(rank AS BIGINT) AS rank
+            FROM (
+              SELECT source, doc_id, n_chars,
+                     row_number() OVER (
+                       PARTITION BY source ORDER BY n_chars DESC, doc_id
+                     ) AS rank
+              FROM documents
+            )
+            WHERE rank <= 5
+        """,
         "kg_pipeline_triples": _build_pipeline_triples_sql(),
         "doc_stratified_sample": """
             SELECT doc_id, lang FROM documents

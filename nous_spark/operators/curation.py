@@ -136,3 +136,51 @@ def pack_sequences(
     return d.withColumn("seq_id", seq).select(
         id_col, group_col, "n_tokens", "seq_id"
     )
+
+
+def top_k_per_group(
+    df: DataFrame,
+    k: int,
+    group_col: str = "source",
+    order_col: str = "n_chars",
+    id_col: str = "doc_id",
+    descending: bool = True,
+    n_shards: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-group quota capping — the CommonCrawl-curation "keep at most
+    k pages per domain" rule (and the generic best-k-by-quality pick).
+    Returns (group, id, order, rank) for the top ``k`` rows of each
+    group under the deterministic total order (``order_col``
+    desc-or-asc, ``id_col`` asc tiebreak), rank 1-based.
+
+    Two-phase so no window partition is ever group-sized (the hot-key
+    cap this repo requires of every per-group operator): phase 1 ranks
+    within (group, md5-shard-of-id) and keeps each shard's local top-k
+    — any global top-k row is necessarily in its own shard's local
+    top-k, so the ≤ k*n_shards survivors per group are a superset of
+    the answer; phase 2 re-ranks the survivors per group, a window over
+    at most k*n_shards rows no matter how hot the group. Exactly equals
+    the single-window ``row_number() <= k`` result, at any sharding.
+    """
+    from pyspark.sql import Window
+
+    ordering = [
+        F.col(order_col).desc() if descending else F.col(order_col).asc(),
+        F.col(id_col).asc(),
+    ]
+    d = df.select(group_col, id_col, order_col)
+    if n_shards > 1:
+        d = d.withColumn("_shard", hash_shard_col(F.col(id_col), n_shards, seed))
+        w_local = Window.partitionBy(group_col, "_shard").orderBy(*ordering)
+        d = (
+            d.withColumn("_lrn", F.row_number().over(w_local))
+            .filter(F.col("_lrn") <= k)
+            .drop("_shard", "_lrn")
+        )
+    w = Window.partitionBy(group_col).orderBy(*ordering)
+    return (
+        d.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(group_col, id_col, order_col, "rank")
+    )

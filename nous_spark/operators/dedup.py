@@ -826,3 +826,137 @@ def dedup_corpus(
         F.col("id").cast(id_type).alias(id_col)
     )
     return docs.join(doomed, id_col, "left_anti")
+
+
+# --------------------------------------------------------------------------
+# cross-document line dedup (the C4 preprocessing rule)
+# --------------------------------------------------------------------------
+def dedup_lines_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    keep_first: bool = True,
+) -> DataFrame:
+    """C4-style cross-document line deduplication: a line occurring in
+    >= ``min_df`` DISTINCT documents is boilerplate (cookie banners,
+    nav text, license footers) and is removed corpus-wide — with
+    ``keep_first`` the occurrence(s) in the smallest ``id_col`` document
+    survive ("we discarded all but one of any span occurring more than
+    once", C4 / Raffel et al. 2020, §2.2), otherwise all are dropped.
+    Intra-document repeats within one surviving document are NOT
+    collapsed (that is text.repetition_signals' dimension).
+
+    Lines are '\\n'-split, space-trimmed; empty lines carry no signal
+    and are dropped from the output. Returns one row per input doc:
+    (id, n_kept, n_dropped, text_clean) with the kept lines re-joined
+    in original order — deterministic, engine-independent, and fully
+    value-hash oracle-checkable in DuckDB.
+
+    Scale: posexplode -> ONE hash aggregation keyed by md5(line) (16-
+    byte keys instead of arbitrary-length boilerplate lines on the
+    shuffle; partial map-side combine makes the billion-fold "Accept
+    cookies" line cheap — it pre-aggregates per task, so no hot-key cap
+    is needed on a pure aggregation) -> a broadcast-or-shuffle join of
+    lines x line-stats -> one per-doc reassembly aggregation. No
+    windows, no collect.
+    """
+    lines_arr = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), F.trim),
+        lambda ln: ln != "",
+    )
+    lines = docs.select(
+        F.col(id_col), F.posexplode(lines_arr).alias("pos", "line")
+    ).withColumn("lh", F.md5(F.col("line").cast("binary")))
+    stats = lines.groupBy("lh").agg(
+        F.countDistinct(id_col).alias("df"),
+        F.min(id_col).alias("first_id"),
+    )
+    keep = (F.col("df") < min_df) | (
+        F.lit(keep_first) & (F.col(id_col) == F.col("first_id"))
+    )
+    flagged = lines.join(stats, "lh").withColumn("keep", keep)
+    rebuilt = flagged.groupBy(id_col).agg(
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct("pos", "line"))
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+        ).alias("text_clean"),
+    )
+    return docs.select(F.col(id_col)).join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+    )
+
+
+# --------------------------------------------------------------------------
+# benchmark decontamination (eval-set n-gram overlap)
+# --------------------------------------------------------------------------
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """GPT-3-style benchmark decontamination: a training document that
+    shares ANY word ``n``-gram with the evaluation/benchmark corpus is
+    contaminated (Brown et al. 2020, appendix C use 13-grams). Returns
+    one row per training doc: (id, n_shared_grams, contaminated) where
+    ``n_shared_grams`` counts the doc's DISTINCT n-grams that occur
+    anywhere in the eval set — callers drop or down-weight flagged docs.
+    Docs shorter than ``n`` words score 0/false.
+
+    Tokenization is the whitespace split of token_count_col; grams are
+    space-joined token windows, per-doc DISTINCT (array_distinct on the
+    doc-local array — no shuffle). The overlap check joins md5(gram)
+    (16-byte shuffle/broadcast keys instead of ~100-byte gram strings;
+    the DuckDB oracle joins raw gram strings — md5 equality == string
+    equality).
+
+    Scale: eval sets (MMLU/GSM8K/HELM dumps) are MBs against a 100 TB
+    corpus — ``broadcast_eval`` forces the distinct eval-gram set to
+    every executor so the contamination check is a map-side hash-semi-
+    join; the only shuffle is the final per-doc count (map-side
+    combinable, keyed by doc id — no hot keys). Set it False only if
+    the eval side genuinely exceeds executor memory, which flips to an
+    AQE-planned shuffle join, still linear.
+    """
+    def grams_arr(col):
+        toks = F.split(F.trim(col), r"\s+")
+        g = F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, n)).cast("binary")),
+        )
+        return F.when(F.size(toks) >= n, F.array_distinct(g)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    eval_grams = (
+        eval_docs.select(F.explode(grams_arr(F.col(text_col))).alias("gh"))
+        .distinct()
+    )
+    if broadcast_eval:
+        eval_grams = F.broadcast(eval_grams)
+    train_grams = docs.select(
+        F.col(id_col), F.explode(grams_arr(F.col(text_col))).alias("gh")
+    )
+    hits = train_grams.join(eval_grams, "gh").groupBy(id_col).agg(
+        F.count("*").alias("n_shared_grams")
+    )
+    return docs.select(id_col).join(hits, id_col, "left").select(
+        id_col,
+        F.coalesce("n_shared_grams", F.lit(0).cast("long")).alias("n_shared_grams"),
+        (F.coalesce("n_shared_grams", F.lit(0)) > 0).alias("contaminated"),
+    )

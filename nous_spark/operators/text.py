@@ -239,6 +239,91 @@ def fingerprint_udf(text: pd.Series) -> pd.Series:
     return text.map(fingerprint_text)
 
 
+# ------------------------------------------------------- repetition signals
+def repetition_signals(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style intra-document repetition signals — the filters a
+    pretraining pipeline applies before tokenization to drop template/
+    boilerplate-looped pages:
+
+      dup_line_frac       = repeated-line occurrences / total lines
+      dup_line_char_frac  = chars in lines whose line repeats / line chars
+      top_2gram_char_frac = chars covered by the most frequent word
+                            2-gram / word chars (count * gram word chars)
+
+    Lines are '\\n'-split, space-trimmed, empties dropped; 2-grams use
+    the whitespace tokenization of token_count_col. Returns one row per
+    input doc (docs with no lines / <2 words score 0.0). All values
+    round(_, 4) — SQL-expressible and oracle-checked in DuckDB.
+
+    Scale: two explodes -> hash aggregations (partial map-side combine)
+    + one per-doc window on the vocabulary-sized 2-gram counts — the
+    tfidf_topk_terms shape; no O(n_lines^2) array scans, no collect.
+    """
+    from pyspark.sql import Window
+
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), F.trim),
+        lambda ln: ln != "",
+    )
+    per_line = (
+        docs.select(F.col(id_col), F.explode(lines).alias("line"))
+        .groupBy(id_col, "line")
+        .agg(F.count("*").alias("cnt"), F.length("line").alias("len"))
+    )
+    line_sig = per_line.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_lines"),
+        F.round(
+            (F.sum("cnt") - F.count("*")) / F.sum("cnt"), 4
+        ).alias("dup_line_frac"),
+        F.round(
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt") * F.col("len")).otherwise(0))
+            / F.sum(F.col("cnt") * F.col("len")),
+            4,
+        ).alias("dup_line_char_frac"),
+    )
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - 1, F.lit(1)) - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, 2)),
+    )
+    per_gram = (
+        docs.filter(F.size(words) >= 2)
+        .select(F.col(id_col), F.length(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", "")).alias("word_chars"), F.explode(grams).alias("gram"))
+        .groupBy(id_col, "word_chars", "gram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("cnt"), F.asc("gram"))
+    top_gram = (
+        per_gram.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col(id_col),
+            F.round(
+                F.col("cnt")
+                * (F.length("gram") - 1)  # gram chars minus the joiner space
+                / F.col("word_chars"),
+                4,
+            ).alias("top_2gram_char_frac"),
+        )
+    )
+    base = docs.select(F.col(id_col))
+    return (
+        base.join(line_sig, id_col, "left")
+        .join(top_gram, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.coalesce("dup_line_frac", F.lit(0.0)).alias("dup_line_frac"),
+            F.coalesce("dup_line_char_frac", F.lit(0.0)).alias("dup_line_char_frac"),
+            F.coalesce("top_2gram_char_frac", F.lit(0.0)).alias("top_2gram_char_frac"),
+        )
+    )
+
+
 # ---------------------------------------------------------------- tf-idf
 def tfidf_topk_terms(
     docs: DataFrame,

@@ -1,0 +1,124 @@
+"""Web-corpus cleaning operators: Gopher-style intra-doc repetition
+signals + C4-style cross-document line dedup (oracle parity is covered
+by test_oracle_parity; these pin the semantic edge cases the synthetic
+documents table may not exercise)."""
+
+from __future__ import annotations
+
+from nous_spark.operators.dedup import dedup_lines_corpus
+from nous_spark.operators.text import repetition_signals
+
+DOC_SCHEMA = "doc_id long, text string"
+
+
+def _by_id(rows):
+    return {r["doc_id"]: r for r in rows}
+
+
+def test_repetition_signals_values(spark):
+    docs = spark.createDataFrame(
+        [
+            # one repeated line out of three; top 2-gram "hello world" x2
+            (1, "hello world\nhello world\nunique line"),
+            (2, "solo"),  # <2 words -> no 2-gram; single line
+            (3, ""),  # no lines, no words
+        ],
+        DOC_SCHEMA,
+    )
+    out = _by_id(repetition_signals(docs).collect())
+    assert set(out) == {1, 2, 3}
+
+    r1 = out[1]
+    assert r1["n_lines"] == 3
+    assert abs(r1["dup_line_frac"] - round(1 / 3, 4)) < 1e-9
+    # 22 chars in repeated lines / 33 line chars
+    assert abs(r1["dup_line_char_frac"] - round(22 / 33, 4)) < 1e-9
+    # "hello world" x2 -> 2*10 gram chars / 30 word chars
+    assert abs(r1["top_2gram_char_frac"] - round(20 / 30, 4)) < 1e-9
+
+    assert out[2]["n_lines"] == 1
+    assert out[2]["dup_line_frac"] == 0.0
+    assert out[2]["top_2gram_char_frac"] == 0.0
+
+    assert out[3]["n_lines"] == 0
+    assert out[3]["dup_line_frac"] == 0.0
+    assert out[3]["dup_line_char_frac"] == 0.0
+    assert out[3]["top_2gram_char_frac"] == 0.0
+
+
+def test_dedup_lines_corpus_keep_first(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "COOKIE\nalpha"),
+            (2, "COOKIE\nbeta"),
+            (3, "COOKIE\nCOOKIE\ngamma"),
+            (4, ""),
+            (5, "xx\nxx"),  # intra-doc repeat, df=1 -> untouched
+        ],
+        DOC_SCHEMA,
+    )
+    out = _by_id(dedup_lines_corpus(docs, min_df=2).collect())
+    assert set(out) == {1, 2, 3, 4, 5}
+    # first (min doc_id) doc keeps its boilerplate copies
+    assert (out[1]["n_kept"], out[1]["n_dropped"]) == (2, 0)
+    assert out[1]["text_clean"] == "COOKIE\nalpha"
+    assert (out[2]["n_kept"], out[2]["n_dropped"]) == (1, 1)
+    assert out[2]["text_clean"] == "beta"
+    # BOTH copies in a non-first doc drop
+    assert (out[3]["n_kept"], out[3]["n_dropped"]) == (1, 2)
+    assert out[3]["text_clean"] == "gamma"
+    # empty doc survives with empty output
+    assert (out[4]["n_kept"], out[4]["n_dropped"]) == (0, 0)
+    assert out[4]["text_clean"] == ""
+    # intra-doc repetition is NOT cross-doc boilerplate
+    assert (out[5]["n_kept"], out[5]["n_dropped"]) == (2, 0)
+    assert out[5]["text_clean"] == "xx\nxx"
+
+
+def test_dedup_lines_corpus_drop_all_and_min_df(spark):
+    docs = spark.createDataFrame(
+        [(1, "COOKIE\na"), (2, "COOKIE\nb"), (3, "COOKIE\nc")],
+        DOC_SCHEMA,
+    )
+    # keep_first=False removes every copy corpus-wide
+    strict = _by_id(dedup_lines_corpus(docs, min_df=2, keep_first=False).collect())
+    assert all(strict[i]["n_dropped"] == 1 for i in (1, 2, 3))
+    assert strict[1]["text_clean"] == "a"
+    # min_df above the observed df keeps everything
+    loose = _by_id(dedup_lines_corpus(docs, min_df=4).collect())
+    assert all(loose[i]["n_dropped"] == 0 for i in (1, 2, 3))
+
+
+def test_dedup_lines_corpus_preserves_order(spark):
+    docs = spark.createDataFrame(
+        [(1, "z9\nm5\na1"), (2, "nope")], DOC_SCHEMA
+    )
+    out = _by_id(dedup_lines_corpus(docs, min_df=2).collect())
+    # original line order, NOT lexicographic
+    assert out[1]["text_clean"] == "z9\nm5\na1"
+
+
+def test_decontaminate_flags_shared_ngrams(spark):
+    from nous_spark.operators.dedup import decontaminate
+
+    span = " ".join(f"w{i}" for i in range(8))  # exactly one 8-gram
+    train = spark.createDataFrame(
+        [
+            (1, f"prefix {span} suffix"),       # contains the eval span
+            (2, "totally different words here that never overlap at all"),
+            (3, "short doc"),                   # < n words -> 0/false
+            (4, f"{span} {span}"),              # span twice + bridging grams
+        ],
+        DOC_SCHEMA,
+    )
+    eval_docs = spark.createDataFrame([(100, f"lead {span} tail")], DOC_SCHEMA)
+    out = _by_id(decontaminate(train, eval_docs, n=8).collect())
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["contaminated"] and out[1]["n_shared_grams"] >= 1
+    assert not out[2]["contaminated"] and out[2]["n_shared_grams"] == 0
+    assert not out[3]["contaminated"]
+    # distinct grams per doc: the doubled span counts once
+    assert out[4]["contaminated"] and out[4]["n_shared_grams"] == 1
+    # longer n than any shared span -> clean corpus
+    out13 = _by_id(decontaminate(train, eval_docs, n=14).collect())
+    assert not any(out13[i]["contaminated"] for i in out13)

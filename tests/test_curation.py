@@ -144,3 +144,34 @@ def test_pack_sequences_single_shard_unchanged(spark):
     base = pack_sequences(docs, budget_tokens=300)
     one = pack_sequences(docs, budget_tokens=300, n_shards=1)
     assert base.exceptAll(one).isEmpty() and one.exceptAll(base).isEmpty()
+
+
+def test_top_k_per_group_matches_single_window(spark):
+    from nous_spark.operators.curation import top_k_per_group
+    from pyspark.sql import Window
+
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 7}", (i * 37) % 50) for i in range(300)],
+        "doc_id long, source string, n_chars long",
+    )
+    sharded = top_k_per_group(docs, k=4, n_shards=8).collect()
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    exact = (
+        docs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 4)
+        .select("source", "doc_id", "n_chars", "rank")
+        .collect()
+    )
+    key = lambda r: (r["source"], r["rank"])
+    assert sorted(((r["source"], r["rank"], r["doc_id"]) for r in sharded)) == sorted(
+        ((r["source"], r["rank"], r["doc_id"]) for r in exact)
+    )
+    # every group capped at k, ranks contiguous from 1
+    by_grp: dict[str, list[int]] = {}
+    for r in sharded:
+        by_grp.setdefault(r["source"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 4
+               for v in by_grp.values())
+    # unsharded path identical
+    plain = top_k_per_group(docs, k=4, n_shards=1).collect()
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, sharded))
