@@ -881,6 +881,33 @@ def _q_doc_top_k_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("rank", F.col("rank").cast("long"))
 
 
+def _q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (C4/FineWeb pre-release scrub): deterministic
+    synthetic email/phone/IPv4 strings are injected per doc_id —
+    identically in this wrapper and the DuckDB oracle — then scrubbed;
+    counts and the fully redacted text are value-hash-checked."""
+    from nous_spark.operators.text import pii_scrub
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    injected = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), did.cast("string"), F.lit("@example.com"),
+            F.when(
+                did % 2 == 0,
+                F.concat(
+                    F.lit(" or +1 555-"),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.lit(" at 10.0."), (did % 256).cast("string"), F.lit(".7"),
+        ),
+    )
+    return pii_scrub(injected)
+
+
 def _q_media_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal video: synthetic binaries (REAL Y4M payloads with
     C444/C420jpeg plane layouts + the fake FVID format) -> frame
@@ -986,6 +1013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_lines": _q_doc_dedup_lines,
         "doc_decontaminate": _q_doc_decontaminate,
         "doc_top_k_per_source": _q_doc_top_k_per_source,
+        "doc_pii_scrub": _q_doc_pii_scrub,
         # rows-only (non-SQL-expressible: xxhash64 sketch, Python query
         # embedder)
         "doc_simhash_near_dups": _q_simhash_near_dups,
@@ -1504,6 +1532,41 @@ def _build_simhash_md5_sql() -> str:
     """
 
 
+def _build_pii_scrub_sql() -> str:
+    """GENERATED from text.PII_PATTERNS (the CLAUDE.md shared-table
+    rule): counts via regexp_extract_all, redaction via the same
+    pattern-ordered regexp_replace chain ('g' = global, the DuckDB
+    gotcha), over the identical injected-PII text expression."""
+    from nous_spark.operators.text import PII_PATTERNS
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    counts = ",\n                   ".join(
+        f"CAST(len(regexp_extract_all(text, '{q(p)}')) AS INTEGER) AS n_{name}"
+        for name, p, _ in PII_PATTERNS
+    )
+    red = "text"
+    for _, p, tok in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{q(p)}', '{tok}', 'g')"
+    return f"""
+        WITH injected AS (
+          SELECT doc_id,
+                 text || ' contact user' || doc_id || '@example.com' ||
+                 CASE WHEN doc_id % 2 = 0
+                      THEN ' or +1 555-'
+                           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                      ELSE '' END ||
+                 ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS text
+          FROM documents
+        )
+        SELECT doc_id,
+               {counts},
+               {red} AS text_redacted
+        FROM injected
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     edges_cte = f"WITH edges AS ({EDGES_SQL})"
     return {
@@ -1687,6 +1750,7 @@ def oracle_sql() -> dict[str, str]:
             )
             WHERE rank <= 5
         """,
+        "doc_pii_scrub": _build_pii_scrub_sql(),
         "kg_pipeline_triples": _build_pipeline_triples_sql(),
         "doc_stratified_sample": """
             SELECT doc_id, lang FROM documents

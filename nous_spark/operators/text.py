@@ -378,3 +378,44 @@ def tfidf_topk_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "score", "rank")
     )
+
+
+# ------------------------------------------------------------- pii scrubbing
+# Patterns restricted to syntax that parses AND matches identically under
+# Java regex (Spark) and RE2 (DuckDB): character classes, bounded repeats,
+# non-capturing groups, \b word boundaries — no backreferences/lookaround
+# (RE2 lacks them). Order matters: emails first (their local parts contain
+# digits), then IPv4, then phones; replacement tokens are digit-free so a
+# later pattern can never match inside an earlier substitution.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("emails", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4s", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phones", r"\+\d{1,3}[ -]\d{3}[ -]?\d{4}\b", "<PHONE>"),
+]
+
+
+def pii_scrub(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    patterns: list[tuple[str, str, str]] | None = None,
+) -> DataFrame:
+    """PII redaction — the pre-release scrub every pretraining corpus
+    gets (the C4/FineWeb email/IP/phone rule): replace each pattern
+    with its digit-free token and count the hits. Returns one row per
+    doc: (id, n_<name> per pattern, text_redacted).
+
+    Pure Column pipeline (regexp_count + chained regexp_replace —
+    whole-stage codegen, no Python workers, no shuffle at all: a
+    stateless map that composes with any downstream op). The default
+    patterns are deliberately conservative (precision over recall —
+    a false positive deletes training signal); pass ``patterns`` to
+    extend (SSNs, IBANs, street addresses...).
+    """
+    pats = PII_PATTERNS if patterns is None else patterns
+    cols = [F.col(id_col)]
+    red = F.col(text_col)
+    for name, pat, token in pats:
+        cols.append(F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{name}"))
+        red = F.regexp_replace(red, pat, token)
+    return docs.select(*cols, red.alias("text_redacted"))

@@ -122,3 +122,25 @@ def test_decontaminate_flags_shared_ngrams(spark):
     # longer n than any shared span -> clean corpus
     out13 = _by_id(decontaminate(train, eval_docs, n=14).collect())
     assert not any(out13[i]["contaminated"] for i in out13)
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    from nous_spark.operators.text import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a@b.io and c.d+x@e-f.org, call +44 123 4567 now"),
+            (2, "server at 10.0.0.1 and 192.168.255.7 no mail"),
+            (3, "clean text with no identifiers at all"),
+            (4, "ip-ish 1.2.3.4.5 still redacts the leading quad"),
+        ],
+        DOC_SCHEMA,
+    )
+    out = _by_id(pii_scrub(docs).collect())
+    assert (out[1]["n_emails"], out[1]["n_phones"], out[1]["n_ipv4s"]) == (2, 1, 0)
+    assert out[1]["text_redacted"] == "mail <EMAIL> and <EMAIL>, call <PHONE> now"
+    assert (out[2]["n_emails"], out[2]["n_ipv4s"]) == (0, 2)
+    assert out[2]["text_redacted"] == "server at <IP> and <IP> no mail"
+    assert out[3]["text_redacted"] == docs.collect()[2]["text"]
+    assert (out[3]["n_emails"], out[3]["n_phones"], out[3]["n_ipv4s"]) == (0, 0, 0)
+    assert "<IP>" in out[4]["text_redacted"]
