@@ -908,6 +908,51 @@ def _q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_scrub(injected)
 
 
+_MIX_WEIGHTS = {"en": 0.4, "zh": 0.25, "de": 0.2, "es": 0.15}  # fr: dropped
+_MIX_BUDGET = 12_000
+
+
+def _q_doc_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing (Pile/Gopher/LLaMA recipe): sample
+    each language to min(1, budget*w/tokens) by the deterministic md5
+    draw; the oracle recomputes fractions AND the draw in SQL."""
+    from nous_spark.operators.curation import token_budget_mix
+
+    return token_budget_mix(
+        _t(spark, sf_dir, "documents"), _MIX_WEIGHTS, _MIX_BUDGET
+    )
+
+
+def _build_token_budget_mix_sql() -> str:
+    """GENERATED from _MIX_WEIGHTS/_MIX_BUDGET: the budget*weight
+    products are baked as the SAME Python-float literals the Spark plan
+    uses, so the one runtime double division is bit-identical."""
+    case = " ".join(
+        f"WHEN '{k}' THEN {float(_MIX_BUDGET * _MIX_WEIGHTS[k])!r}"
+        for k in sorted(_MIX_WEIGHTS)
+    )
+    langs = ", ".join(f"'{k}'" for k in sorted(_MIX_WEIGHTS))
+    return f"""
+        WITH d AS (
+          SELECT doc_id, lang,
+                 CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tokens
+          FROM documents
+          WHERE lang IN ({langs})
+        ),
+        tot AS (SELECT lang, sum(n_tokens) AS tot FROM d GROUP BY 1),
+        f AS (
+          SELECT lang,
+                 least(1.0, (CASE lang {case} END) / tot) AS frac
+          FROM tot
+        )
+        SELECT doc_id, lang, n_tokens
+        FROM d JOIN f USING (lang)
+        WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 8))::BIGINT
+              / 4294967296.0 < frac
+    """
+
+
 def _q_media_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal video: synthetic binaries (REAL Y4M payloads with
     C444/C420jpeg plane layouts + the fake FVID format) -> frame
@@ -1014,6 +1059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_decontaminate": _q_doc_decontaminate,
         "doc_top_k_per_source": _q_doc_top_k_per_source,
         "doc_pii_scrub": _q_doc_pii_scrub,
+        "doc_token_budget_mix": _q_doc_token_budget_mix,
         # rows-only (non-SQL-expressible: xxhash64 sketch, Python query
         # embedder)
         "doc_simhash_near_dups": _q_simhash_near_dups,
@@ -1751,6 +1797,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE rank <= 5
         """,
         "doc_pii_scrub": _build_pii_scrub_sql(),
+        "doc_token_budget_mix": _build_token_budget_mix_sql(),
         "kg_pipeline_triples": _build_pipeline_triples_sql(),
         "doc_stratified_sample": """
             SELECT doc_id, lang FROM documents

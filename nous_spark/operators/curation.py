@@ -184,3 +184,51 @@ def top_k_per_group(
         .filter(F.col("rank") <= k)
         .select(group_col, id_col, order_col, "rank")
     )
+
+
+def token_budget_mix(
+    docs: DataFrame,
+    weights: dict[str, float],
+    budget_tokens: int,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+) -> DataFrame:
+    """Domain/language mixture rebalancing to a token budget — the
+    "sample each source so the training mix hits the target weights"
+    step (the Pile / Gopher / LLaMA recipe): stratum s with target
+    weight w_s gets keep-fraction min(1, budget*w_s / tokens_s), and
+    rows are kept by the deterministic per-doc md5 draw (reproducible
+    across runs/engines/partitioning). Expected sampled tokens per
+    stratum = min(budget*w_s, tokens_s) — under-weight strata are kept
+    whole (epoch-repeating is the trainer's job, not the sampler's).
+    Strata absent from ``weights`` are dropped. Returns
+    (id, stratum, n_tokens) for the surviving docs.
+
+    Scale: one map-side-combinable aggregation for per-stratum totals
+    (rows = |strata|, broadcast back), then a stateless filter — no
+    repartitioning of the corpus, composes with any downstream op.
+    The budget*w_s products are baked as literals so the only runtime
+    float op is one double division, bit-identical in Spark and DuckDB.
+    """
+    d = docs.filter(F.col(stratum_col).isin(sorted(weights))).select(
+        F.col(id_col),
+        F.col(stratum_col),
+        token_count_col(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    totals = d.groupBy(stratum_col).agg(F.sum("n_tokens").alias("_tot"))
+    # the isin filter above is what drops unweighted strata — a NULL
+    # weight would NOT: least() skips NULLs in both Spark and DuckDB,
+    # silently turning "no weight" into fraction 1.0
+    bw = F.lit(None).cast("double")
+    for k in sorted(weights):
+        bw = F.when(
+            F.col(stratum_col) == k, F.lit(float(budget_tokens * weights[k]))
+        ).otherwise(bw)
+    frac = F.least(F.lit(1.0), bw / F.col("_tot"))
+    return (
+        d.join(F.broadcast(totals), stratum_col)
+        .filter(hash_uniform_col(F.col(id_col), seed) < frac)
+        .select(id_col, stratum_col, "n_tokens")
+    )

@@ -175,3 +175,30 @@ def test_top_k_per_group_matches_single_window(spark):
     # unsharded path identical
     plain = top_k_per_group(docs, k=4, n_shards=1).collect()
     assert sorted(map(tuple, plain)) == sorted(map(tuple, sharded))
+
+
+def test_token_budget_mix_semantics(spark):
+    from nous_spark.operators.curation import token_budget_mix
+
+    docs = spark.createDataFrame(
+        [
+            (i, "en" if i < 400 else ("zh" if i < 500 else "xx"),
+             " ".join(["w"] * 10))
+            for i in range(600)
+        ],
+        "doc_id long, lang string, text string",
+    )
+    # en: 4000 tokens, zh: 1000 tokens, xx: unweighted -> dropped
+    out = token_budget_mix(docs, {"en": 0.5, "zh": 0.5}, budget_tokens=2000)
+    rows = out.collect()
+    assert all(r["lang"] != "xx" for r in rows)
+    n_en = sum(1 for r in rows if r["lang"] == "en")
+    n_zh = sum(1 for r in rows if r["lang"] == "zh")
+    # zh fraction capped at 1.0 (budget*0.5 = 1000 >= its 1000 tokens)
+    assert n_zh == 100
+    # en fraction = 1000/4000 = 0.25 of 400 docs, binomial spread
+    assert 60 <= n_en <= 140
+    # deterministic
+    again = {r["doc_id"] for r in token_budget_mix(
+        docs, {"en": 0.5, "zh": 0.5}, budget_tokens=2000).collect()}
+    assert again == {r["doc_id"] for r in rows}
