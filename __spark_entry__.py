@@ -1010,14 +1010,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "usage_totals_coalesce": _q_totals_coalesce,
         "usage_cost_rollup": _q_usage_cost_rollup,
         "usage_pagination": _q_pagination,
-        "tpch_q1_pricing_summary": _q_tpch_q1,
-        "tpch_q3_shipping_priority": _q_tpch_q3,
-        "tpch_q5_local_supplier": _q_tpch_q5,
-        "tpch_q6_forecast_revenue": _q_tpch_q6,
-        "region_revenue": _q_region_revenue,
         "customers_without_orders": _q_anti_join,
-        "customer_order_counts": _q_left_outer_counts,
         "nation_segment_collect": _q_collect_distinct,
+        "doc_repetition_signals": _q_doc_repetition_signals,
+        "doc_dedup_lines": _q_doc_dedup_lines,
+        "doc_decontaminate": _q_doc_decontaminate,
+        "doc_top_k_per_source": _q_doc_top_k_per_source,
+        "doc_pii_scrub": _q_doc_pii_scrub,
+        "doc_token_budget_mix": _q_doc_token_budget_mix,
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_token_stats": _q_doc_token_stats,
         "ann_cosine_scores": _q_ann_cosine,
@@ -1051,15 +1051,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_image_features": _q_media_image_features,
         "media_video_features": _q_media_video_features,
         # oracled overflow (positions 51+, outside the driver's 50-row
-        # window; fully parity-gated in tests/test_oracle_parity.py)
+        # window; fully parity-gated in tests/test_oracle_parity.py).
+        # Round-4 rebalance: the generic TPC-H/left-join queries moved
+        # here — none carries a unique SURVEY §2 responsibility (C5 is
+        # customers_without_orders, D1/D7 nation_segment_collect, D4-D6/
+        # B7/E2/F7 the usage_* set) — to give the six first-class
+        # pretraining-curation ops driver correctness rows instead.
+        "tpch_q1_pricing_summary": _q_tpch_q1,
+        "tpch_q3_shipping_priority": _q_tpch_q3,
+        "tpch_q5_local_supplier": _q_tpch_q5,
+        "tpch_q6_forecast_revenue": _q_tpch_q6,
+        "region_revenue": _q_region_revenue,
+        "customer_order_counts": _q_left_outer_counts,
         "tpch_q18_large_volume": _q_tpch_q18,
         "customers_with_1995_orders": _q_semi_join,
-        "doc_repetition_signals": _q_doc_repetition_signals,
-        "doc_dedup_lines": _q_doc_dedup_lines,
-        "doc_decontaminate": _q_doc_decontaminate,
-        "doc_top_k_per_source": _q_doc_top_k_per_source,
-        "doc_pii_scrub": _q_doc_pii_scrub,
-        "doc_token_budget_mix": _q_doc_token_budget_mix,
         # rows-only (non-SQL-expressible: xxhash64 sketch, Python query
         # embedder)
         "doc_simhash_near_dups": _q_simhash_near_dups,
