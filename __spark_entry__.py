@@ -953,6 +953,86 @@ def _build_token_budget_mix_sql() -> str:
     """
 
 
+_CURATION_MIX_BUDGET = 6_000
+_CURATION_SEQ_BUDGET = 1_024
+_CURATION_SHARDS = 4
+
+
+def _q_doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation chain (quality filter -> exact dedup ->
+    mixture rebalancing -> sharded sequence packing), composed from the
+    library operators; the oracle replicates all four stages as one
+    CTE stack, so stage INTERACTIONS are value-hash-checked too."""
+    from nous_spark.operators.curation import curation_pipeline
+
+    return curation_pipeline(
+        _t(spark, sf_dir, "documents"),
+        _MIX_WEIGHTS,
+        _CURATION_MIX_BUDGET,
+        seq_budget_tokens=_CURATION_SEQ_BUDGET,
+        n_shards=_CURATION_SHARDS,
+    )
+
+
+def _build_curation_pipeline_sql() -> str:
+    """GENERATED from _MIX_WEIGHTS/_CURATION_*: the quality CTE is the
+    proven doc_quality_filter formula, dedup the doc_exact_dedup min-id
+    rule, sampling the token_budget_mix draw, packing the
+    doc_pack_sequences window — chained."""
+    case = " ".join(
+        f"WHEN '{k}' THEN {float(_CURATION_MIX_BUDGET * _MIX_WEIGHTS[k])!r}"
+        for k in sorted(_MIX_WEIGHTS)
+    )
+    langs = ", ".join(f"'{k}'" for k in sorted(_MIX_WEIGHTS))
+    draw = "('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 8))::BIGINT"
+    return rf"""
+        WITH q AS (
+          SELECT doc_id,
+                 length(regexp_split_to_array(trim(text), '\s+')) AS words,
+                 round(length(regexp_replace(text, '\s', '', 'g'))
+                       / length(regexp_split_to_array(trim(text), '\s+')), 4) AS awl,
+                 round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                       / length(text), 4) AS punct
+          FROM documents
+        ), s AS (
+          SELECT doc_id,
+                 (CASE WHEN words BETWEEN 10 AND 100000 THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END
+                  + CASE WHEN awl >= 3.0 AND awl <= 12.0 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END
+                  + CASE WHEN punct > 0.0 THEN 0.2::DOUBLE ELSE 0.0::DOUBLE END
+                  + CASE WHEN punct <= 0.1 THEN 0.1::DOUBLE ELSE 0.0::DOUBLE END) AS score
+          FROM q
+        ), base AS (
+          SELECT d.doc_id, d.lang, d.text
+          FROM documents d JOIN s USING (doc_id) WHERE s.score >= 0.7
+        ), canon AS (
+          SELECT min(doc_id) AS doc_id FROM base GROUP BY md5(text)
+        ), dd AS (
+          SELECT b.* FROM base b JOIN canon USING (doc_id)
+        ), tok AS (
+          SELECT doc_id, lang,
+                 CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                   AS n_tokens
+          FROM dd WHERE lang IN ({langs})
+        ), tot AS (SELECT lang, sum(n_tokens) AS tot FROM tok GROUP BY 1),
+        f AS (
+          SELECT lang, least(1.0, (CASE lang {case} END) / tot) AS frac
+          FROM tot
+        ), samp AS (
+          SELECT tok.doc_id, tok.lang, tok.n_tokens,
+                 {draw} % {_CURATION_SHARDS} AS shard
+          FROM tok JOIN f USING (lang)
+          WHERE {draw} / 4294967296.0 < frac
+        )
+        SELECT doc_id, lang, n_tokens,
+               CAST(floor(coalesce(sum(n_tokens) OVER (
+                 PARTITION BY lang, shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) / {_CURATION_SEQ_BUDGET}) * {_CURATION_SHARDS} + shard
+                 AS BIGINT) AS seq_id
+        FROM samp
+    """
+
+
 def _q_media_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal video: synthetic binaries (REAL Y4M payloads with
     C444/C420jpeg plane layouts + the fake FVID format) -> frame
@@ -1065,6 +1145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_order_counts": _q_left_outer_counts,
         "tpch_q18_large_volume": _q_tpch_q18,
         "customers_with_1995_orders": _q_semi_join,
+        "doc_curation_pipeline": _q_doc_curation_pipeline,
         # rows-only (non-SQL-expressible: xxhash64 sketch, Python query
         # embedder)
         "doc_simhash_near_dups": _q_simhash_near_dups,
@@ -1803,6 +1884,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_pii_scrub": _build_pii_scrub_sql(),
         "doc_token_budget_mix": _build_token_budget_mix_sql(),
+        "doc_curation_pipeline": _build_curation_pipeline_sql(),
         "kg_pipeline_triples": _build_pipeline_triples_sql(),
         "doc_stratified_sample": """
             SELECT doc_id, lang FROM documents

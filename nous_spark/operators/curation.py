@@ -232,3 +232,51 @@ def token_budget_mix(
         .filter(hash_uniform_col(F.col(id_col), seed) < frac)
         .select(id_col, stratum_col, "n_tokens")
     )
+
+
+def curation_pipeline(
+    docs: DataFrame,
+    weights: dict[str, float],
+    mix_budget_tokens: int,
+    seq_budget_tokens: int = 1024,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """The end-to-end pre-tokenization curation chain, composed from
+    this repo's operators exactly as a 100 TB corpus would run it:
+
+      1. quality filter      (text.quality_score_cols keep flag)
+      2. exact dedup         (min-id survivor per md5(text))
+      3. mixture rebalancing (token_budget_mix)
+      4. sequence packing    (pack_sequences, md5-sharded windows)
+
+    Returns (id, stratum, n_tokens, seq_id) for the surviving docs —
+    the table a tokenizer job consumes. Every stage is the library
+    operator (no reimplementation), so the scale properties compose:
+    stages 1-2 are a filter + one hash aggregation, stage 3 adds a
+    broadcast-back totals row per stratum, stage 4 one bounded window
+    per (stratum, shard). Deterministic end to end; the DuckDB oracle
+    replicates the full chain as one CTE stack.
+    """
+    from nous_spark.operators.text import quality_score_cols
+
+    kept = docs.filter(quality_score_cols(F.col(text_col))["keep"])
+    survivors = kept.groupBy(F.md5(F.col(text_col)).alias("_h")).agg(
+        F.min(id_col).alias(id_col)
+    )
+    deduped = kept.join(survivors.select(id_col), id_col, "semi")
+    sampled_ids = token_budget_mix(
+        deduped, weights, mix_budget_tokens, stratum_col, id_col, text_col, seed
+    ).select(id_col)
+    return pack_sequences(
+        deduped.join(sampled_ids, id_col, "semi"),
+        budget_tokens=seq_budget_tokens,
+        group_col=stratum_col,
+        id_col=id_col,
+        text_col=text_col,
+        n_shards=n_shards,
+        seed=seed,
+    )

@@ -202,3 +202,26 @@ def test_token_budget_mix_semantics(spark):
     again = {r["doc_id"] for r in token_budget_mix(
         docs, {"en": 0.5, "zh": 0.5}, budget_tokens=2000).collect()}
     assert again == {r["doc_id"] for r in rows}
+
+
+def test_curation_pipeline_stage_semantics(spark):
+    from nous_spark.operators.curation import curation_pipeline
+
+    good = ("spark rows flow nicely. " * 8).strip()  # passes quality gates
+    docs = spark.createDataFrame(
+        [(1, "en", good), (2, "en", good),            # exact dups: min id wins
+         (3, "en", good + " extra"), (4, "zh", good + " zh variant"),
+         (5, "en", "too short"),                      # quality-filtered
+         (6, "xx", good + " unweighted")],            # unweighted stratum
+        "doc_id long, lang string, text string",
+    )
+    out = curation_pipeline(
+        docs, {"en": 0.5, "zh": 0.5}, mix_budget_tokens=10_000, n_shards=2
+    ).collect()
+    ids = {r["doc_id"] for r in out}
+    assert 2 not in ids          # exact-dup loser
+    assert 5 not in ids          # failed quality
+    assert 6 not in ids          # unweighted stratum
+    # budget >> corpus -> fractions cap at 1.0, all survivors kept
+    assert ids == {1, 3, 4}
+    assert all(r["n_tokens"] > 0 and r["seq_id"] >= 0 for r in out)
