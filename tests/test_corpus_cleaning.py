@@ -122,6 +122,13 @@ def test_decontaminate_flags_shared_ngrams(spark):
     # longer n than any shared span -> clean corpus
     out13 = _by_id(decontaminate(train, eval_docs, n=14).collect())
     assert not any(out13[i]["contaminated"] for i in out13)
+    # shuffle-join fallback (eval too big to broadcast) is identical
+    out_nb = _by_id(
+        decontaminate(train, eval_docs, n=8, broadcast_eval=False).collect()
+    )
+    assert {k: tuple(v) for k, v in out_nb.items()} == {
+        k: tuple(v) for k, v in out.items()
+    }
 
 
 def test_pii_scrub_counts_and_redaction(spark):
