@@ -1799,7 +1799,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             top AS (
               SELECT doc_id,
-                     round(cnt * (length(gram) - 1) / word_chars, 4)
+                     round(least(1.0, cnt * (length(gram) - 1) / word_chars), 4)
                        AS top_2gram_char_frac,
                      row_number() OVER (
                        PARTITION BY doc_id ORDER BY cnt DESC, gram ASC

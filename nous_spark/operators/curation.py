@@ -116,11 +116,25 @@ def pack_sequences(
     preserves the globally-contiguous-per-group ids. Size n_shards so
     corpus_tokens / (n_groups * n_shards) fits one task's sort budget.
     """
-    from pyspark.sql import Window
-
     d = docs.select(
         id_col, group_col, token_count_col(F.col(text_col)).cast("long").alias("n_tokens")
     )
+    return _pack_token_frame(d, budget_tokens, group_col, id_col, n_shards, seed)
+
+
+def _pack_token_frame(
+    d: DataFrame,
+    budget_tokens: int,
+    group_col: str,
+    id_col: str,
+    n_shards: int,
+    seed: int,
+) -> DataFrame:
+    """pack_sequences over a prepared (id, group, n_tokens) frame —
+    lets composed pipelines reuse one tokenized frame instead of
+    re-counting."""
+    from pyspark.sql import Window
+
     part: list = [group_col]
     if n_shards > 1:
         d = d.withColumn("_shard", hash_shard_col(F.col(id_col), n_shards, seed))
@@ -217,6 +231,20 @@ def token_budget_mix(
         F.col(stratum_col),
         token_count_col(F.col(text_col)).cast("long").alias("n_tokens"),
     )
+    return _mix_token_frame(d, weights, budget_tokens, stratum_col, id_col, seed)
+
+
+def _mix_token_frame(
+    d: DataFrame,
+    weights: dict[str, float],
+    budget_tokens: int,
+    stratum_col: str,
+    id_col: str,
+    seed: int,
+) -> DataFrame:
+    """token_budget_mix over a prepared (id, stratum, n_tokens) frame
+    whose strata are already restricted to ``weights`` — lets composed
+    pipelines reuse one tokenized frame instead of re-counting."""
     totals = d.groupBy(stratum_col).agg(F.sum("n_tokens").alias("_tot"))
     # the isin filter above is what drops unweighted strata — a NULL
     # weight would NOT: least() skips NULLs in both Spark and DuckDB,
@@ -268,15 +296,19 @@ def curation_pipeline(
         F.min(id_col).alias(id_col)
     )
     deduped = kept.join(survivors.select(id_col), id_col, "semi")
-    sampled_ids = token_budget_mix(
-        deduped, weights, mix_budget_tokens, stratum_col, id_col, text_col, seed
-    ).select(id_col)
-    return pack_sequences(
-        deduped.join(sampled_ids, id_col, "semi"),
-        budget_tokens=seq_budget_tokens,
-        group_col=stratum_col,
-        id_col=id_col,
-        text_col=text_col,
-        n_shards=n_shards,
-        seed=seed,
+    # ONE tokenized pass over the quality+dedup subtree, checkpointed
+    # eagerly (the dedup-operator discipline): without this, the three
+    # downstream branches (mix totals, mix filter, packing) would each
+    # re-run the quality regexes + dedup aggregation + token count over
+    # the full corpus. The frame is 3 narrow columns — cheap to pin.
+    toks = deduped.filter(F.col(stratum_col).isin(sorted(weights))).select(
+        F.col(id_col),
+        F.col(stratum_col),
+        token_count_col(F.col(text_col)).cast("long").alias("n_tokens"),
+    ).localCheckpoint()
+    sampled = _mix_token_frame(
+        toks, weights, mix_budget_tokens, stratum_col, id_col, seed
+    )
+    return _pack_token_frame(
+        sampled, seq_budget_tokens, stratum_col, id_col, n_shards, seed
     )

@@ -861,12 +861,10 @@ def dedup_lines_corpus(
     lines x line-stats -> one per-doc reassembly aggregation. No
     windows, no collect.
     """
-    lines_arr = F.filter(
-        F.transform(F.split(F.col(text_col), "\n"), F.trim),
-        lambda ln: ln != "",
-    )
+    from nous_spark.operators.text import lines_arr_col
+
     lines = docs.select(
-        F.col(id_col), F.posexplode(lines_arr).alias("pos", "line")
+        F.col(id_col), F.posexplode(lines_arr_col(F.col(text_col))).alias("pos", "line")
     ).withColumn("lh", F.md5(F.col("line").cast("binary")))
     stats = lines.groupBy("lh").agg(
         F.countDistinct(id_col).alias("df"),

@@ -240,6 +240,17 @@ def fingerprint_udf(text: pd.Series) -> pd.Series:
 
 
 # ------------------------------------------------------- repetition signals
+def lines_arr_col(text: Column) -> Column:
+    """The ONE definition of "lines of a document" shared by every
+    line-granular operator (repetition_signals here,
+    dedup.dedup_lines_corpus): '\\n'-split, space-trimmed, empties
+    dropped. DuckDB mirror: trim each element of
+    ``string_split(text, chr(10))``, filter != ''. Keep the rule in one
+    place so C4 line dedup and Gopher line-repetition always agree on
+    what a line is."""
+    return F.filter(F.transform(F.split(text, "\n"), F.trim), lambda ln: ln != "")
+
+
 def repetition_signals(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -252,7 +263,9 @@ def repetition_signals(
       dup_line_frac       = repeated-line occurrences / total lines
       dup_line_char_frac  = chars in lines whose line repeats / line chars
       top_2gram_char_frac = chars covered by the most frequent word
-                            2-gram / word chars (count * gram word chars)
+                            2-gram / word chars (count * gram chars,
+                            capped at 1.0 — overlapping occurrences of
+                            a periodic gram would otherwise overcount)
 
     Lines are '\\n'-split, space-trimmed, empties dropped; 2-grams use
     the whitespace tokenization of token_count_col. Returns one row per
@@ -265,10 +278,7 @@ def repetition_signals(
     """
     from pyspark.sql import Window
 
-    lines = F.filter(
-        F.transform(F.split(F.col(text_col), "\n"), F.trim),
-        lambda ln: ln != "",
-    )
+    lines = lines_arr_col(F.col(text_col))
     per_line = (
         docs.select(F.col(id_col), F.explode(lines).alias("line"))
         .groupBy(id_col, "line")
@@ -303,9 +313,13 @@ def repetition_signals(
         .select(
             F.col(id_col),
             F.round(
-                F.col("cnt")
-                * (F.length("gram") - 1)  # gram chars minus the joiner space
-                / F.col("word_chars"),
+                F.least(
+                    F.lit(1.0),
+                    # gram chars minus the joiner space; capped at 1 —
+                    # overlapping occurrences of a periodic gram ('a a
+                    # a a' -> 'a a' x3) overcount the covered chars
+                    F.col("cnt") * (F.length("gram") - 1) / F.col("word_chars"),
+                ),
                 4,
             ).alias("top_2gram_char_frac"),
         )

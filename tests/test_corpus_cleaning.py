@@ -46,6 +46,14 @@ def test_repetition_signals_values(spark):
     assert out[3]["top_2gram_char_frac"] == 0.0
 
 
+def test_repetition_signals_top_gram_capped(spark):
+    # overlapping occurrences of a periodic gram ('a a' x3 in 4 words)
+    # would overcount covered chars (1.5) — the fraction caps at 1.0
+    docs = spark.createDataFrame([(1, "a a a a")], DOC_SCHEMA)
+    r = repetition_signals(docs).collect()[0]
+    assert r["top_2gram_char_frac"] == 1.0
+
+
 def test_dedup_lines_corpus_keep_first(spark):
     docs = spark.createDataFrame(
         [
