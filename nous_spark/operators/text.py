@@ -247,8 +247,17 @@ def lines_arr_col(text: Column) -> Column:
     dropped. DuckDB mirror: trim each element of
     ``string_split(text, chr(10))``, filter != ''. Keep the rule in one
     place so C4 line dedup and Gopher line-repetition always agree on
-    what a line is."""
-    return F.filter(F.transform(F.split(text, "\n"), F.trim), lambda ln: ln != "")
+    what a line is.
+
+    The transform lambda MUST be single-arg: ``F.transform(arr, F.trim)``
+    silently binds the element INDEX as trim's second (trimStr!)
+    parameter in Spark 4, stripping index-digit characters off line
+    ends ('unique payload 91' at index 1 -> 'unique payload 9') —
+    caught by test_dedup_lines_hot_line_is_pure_aggregation."""
+    return F.filter(
+        F.transform(F.split(text, "\n"), lambda ln: F.trim(ln)),
+        lambda ln: ln != "",
+    )
 
 
 def repetition_signals(

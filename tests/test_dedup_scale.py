@@ -291,3 +291,30 @@ def test_dedup_corpus_transitive_cluster_and_string_order(spark):
     out = dedup_corpus(docs, pairs)
     assert {r["doc_id"] for r in out.collect()} == {0, 1, 9}
     assert out.columns == docs.columns  # survivors keep all columns
+
+
+def test_dedup_lines_hot_line_is_pure_aggregation(spark):
+    """A cookie-banner line shared by EVERY doc is the C4 hot key. The
+    operator is aggregation-shaped (map-side combine on md5(line), no
+    pair join), so the hot line must cost one stats row, not a blowup —
+    asserted behaviorally: 5k docs x 1 shared line dedups correctly and
+    the per-doc reassembly preserves each doc's unique payload."""
+    from nous_spark.operators.dedup import dedup_lines_corpus
+
+    n = 5000
+    docs = spark.createDataFrame(
+        [(i, f"ACCEPT COOKIES\nunique payload {i}") for i in range(n)],
+        "doc_id long, text string",
+    )
+    out = dedup_lines_corpus(docs, min_df=2)
+    agg = out.selectExpr(
+        "sum(n_dropped) AS dropped",
+        "sum(n_kept) AS kept",
+        "min(doc_id) AS lo",
+    ).first()
+    # every doc except doc 0 (min id keeps its copy) drops the banner
+    assert agg["dropped"] == n - 1
+    assert agg["kept"] == n + 1  # n unique payloads + doc 0's banner
+    sample = {r["doc_id"]: r["text_clean"] for r in out.filter("doc_id in (0, 4321)").collect()}
+    assert sample[0] == "ACCEPT COOKIES\nunique payload 0"
+    assert sample[4321] == "unique payload 4321"

@@ -258,3 +258,39 @@ def test_dedup_pages_stream_within_watermark(spark, tmp_path):
     urls = [r["url"] for r in spark.sql("select url from dedup_q").collect()]
     assert len(urls) == 10
     assert len(set(urls)) == 10
+
+
+def test_stateless_curation_ops_compose_with_streaming(spark, tmp_path):
+    """pii_scrub and pack-free curation columns are stateless Column maps,
+    so they must run unchanged on a readStream frame (the incremental
+    ingest path of a curation pipeline) and agree with the batch result."""
+    from nous_spark.operators.text import pii_scrub
+
+    src = str(tmp_path / "docs_src")
+    docs = spark.createDataFrame(
+        [(1, "mail a@b.io now"), (2, "server 10.0.0.1 up"), (3, "clean")],
+        "doc_id long, text string",
+    )
+    docs.coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        pii_scrub(stream)
+        .writeStream.format("memory")
+        .queryName("pii_stream_q")
+        .option("checkpointLocation", str(tmp_path / "cp_pii"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["n_emails"], r["n_ipv4s"], r["text_redacted"])
+        for r in spark.sql("select * from pii_stream_q").collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_emails"], r["n_ipv4s"], r["text_redacted"])
+        for r in pii_scrub(docs).collect()
+    }
+    assert got == want
+    assert got[1][2] == "mail <EMAIL> now"
