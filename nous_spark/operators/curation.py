@@ -246,9 +246,9 @@ def _mix_token_frame(
     whose strata are already restricted to ``weights`` — lets composed
     pipelines reuse one tokenized frame instead of re-counting."""
     totals = d.groupBy(stratum_col).agg(F.sum("n_tokens").alias("_tot"))
-    # the isin filter above is what drops unweighted strata — a NULL
-    # weight would NOT: least() skips NULLs in both Spark and DuckDB,
-    # silently turning "no weight" into fraction 1.0
+    # the callers' isin filter is what drops unweighted strata — a NULL
+    # weight here would NOT: least() skips NULLs in both Spark and
+    # DuckDB, silently turning "no weight" into fraction 1.0
     bw = F.lit(None).cast("double")
     for k in sorted(weights):
         bw = F.when(
