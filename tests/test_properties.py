@@ -155,3 +155,41 @@ def test_wav_round_trip_within_quantization(n, seed):
     assert rate == 16000 and len(got) == n
     if n:
         assert np.abs(got - sig).max() <= 1.0 / 32768 + 1e-7
+
+
+@given(
+    st.lists(
+        st.lists(st.text(alphabet="ab1 ", max_size=6), max_size=4),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_dedup_lines_matches_python_reference(spark, corpora):
+    """dedup_lines_corpus == a pure-Python reference on arbitrary small
+    corpora over an alphabet with digits and spaces at line edges — the
+    input class that exposed the transform(F.trim) index-as-trimStr bug
+    (Spark trim strips ONLY 0x20, mirrored by .strip(' ') here)."""
+    from nous_spark.operators.dedup import dedup_lines_corpus
+
+    docs = [(i, "\n".join(lines)) for i, lines in enumerate(corpora)]
+    per_doc = {
+        i: [ln.strip(" ") for ln in t.split("\n") if ln.strip(" ") != ""]
+        for i, t in docs
+    }
+    df: dict[str, set] = {}
+    for i, lns in per_doc.items():
+        for ln in set(lns):
+            df.setdefault(ln, set()).add(i)
+    first = {ln: min(ids) for ln, ids in df.items()}
+    want = {}
+    for i, lns in per_doc.items():
+        kept = [ln for ln in lns if len(df[ln]) < 2 or i == first[ln]]
+        want[i] = (len(kept), len(lns) - len(kept), "\n".join(kept))
+
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_kept"], r["n_dropped"], r["text_clean"])
+        for r in dedup_lines_corpus(sdf, min_df=2).collect()
+    }
+    assert got == want
