@@ -953,6 +953,57 @@ def _build_token_budget_mix_sql() -> str:
     """
 
 
+def _q_emb_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced coreset sampling (SemDeDup flavor): md5-picked
+    coarse centroids -> nearest-centroid assignment -> the 8 most
+    central vectors per cluster, two-phase sharded top-k. Fully
+    value-hash oracled (centroids, assignment, rounded-score ranking
+    all replicated in SQL)."""
+    from nous_spark.operators.similarity import (
+        cluster_balanced_sample,
+        ivf_centroids_md5,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = ivf_centroids_md5(emb, n_lists=16, seed=42)
+    return cluster_balanced_sample(emb, cents, k=8).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
+_EMB_CLUSTER_SAMPLE_SQL = """
+    WITH draw AS (
+      SELECT vec_id, embedding,
+             ('0x' || substr(md5(vec_id::VARCHAR || ':42'), 1, 8))::BIGINT AS h
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) AS list_id,
+             embedding::DOUBLE[] AS c
+      FROM draw ORDER BY h, vec_id LIMIT 16
+    ),
+    assign AS (
+      SELECT v.vec_id, c.list_id,
+             list_cosine_similarity(v.embedding::DOUBLE[], c.c) AS s,
+             row_number() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY list_cosine_similarity(v.embedding::DOUBLE[], c.c) DESC,
+                        c.list_id
+             ) AS rn
+      FROM embeddings v CROSS JOIN cents c
+    )
+    SELECT list_id, vec_id, score, CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT list_id, vec_id, round(s, 4) AS score,
+             row_number() OVER (
+               PARTITION BY list_id ORDER BY round(s, 4) DESC, vec_id
+             ) AS rank
+      FROM assign WHERE rn = 1
+    )
+    WHERE rank <= 8
+"""
+
+
 _CURATION_MIX_BUDGET = 6_000
 _CURATION_SEQ_BUDGET = 1_024
 _CURATION_SHARDS = 4
@@ -1074,12 +1125,13 @@ def _q_kg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER CONTRACT: the driver's CORRECTNESS artifact evaluates the
-    # FIRST 50 entries only. All 59 oracled entries precede the 2
-    # rows-only ones; overflow slots 51-59 hold oracled queries with no
+    # FIRST 50 entries only. All 60 oracled entries precede the 2
+    # rows-only ones; overflow slots 51-60 hold oracled queries with no
     # unique SURVEY §2 responsibility (the generic TPC-H/left-join set —
-    # green in the r1-r3 driver artifacts — plus doc_curation_pipeline,
-    # whose stages all have their own in-window rows), still pytest-
-    # gated via test_oracle_parity, which runs ALL entries.
+    # green in the r1-r3 driver artifacts — plus doc_curation_pipeline
+    # and emb_cluster_sample, whose constituent stages all have their
+    # own in-window rows), still pytest-gated via test_oracle_parity,
+    # which runs ALL entries.
     return {
         "kg_recall_lookup": _q_kg_recall,
         "kg_pipeline_triples": _q_kg_pipeline,
@@ -1147,6 +1199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18_large_volume": _q_tpch_q18,
         "customers_with_1995_orders": _q_semi_join,
         "doc_curation_pipeline": _q_doc_curation_pipeline,
+        "emb_cluster_sample": _q_emb_cluster_sample,
         # rows-only (non-SQL-expressible: xxhash64 sketch, Python query
         # embedder)
         "doc_simhash_near_dups": _q_simhash_near_dups,
@@ -1886,6 +1939,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_pii_scrub": _build_pii_scrub_sql(),
         "doc_token_budget_mix": _build_token_budget_mix_sql(),
         "doc_curation_pipeline": _build_curation_pipeline_sql(),
+        "emb_cluster_sample": _EMB_CLUSTER_SAMPLE_SQL,
         "kg_pipeline_triples": _build_pipeline_triples_sql(),
         "doc_stratified_sample": """
             SELECT doc_id, lang FROM documents

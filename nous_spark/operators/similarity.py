@@ -438,3 +438,63 @@ def lsh_ann_topk(
     cand_ids = buckets.filter(F.col("bucket").isin(probe)).select(id_col)
     cands = vectors.join(cand_ids, id_col, "left_semi")
     return cosine_topk(cands, query, k, None, id_col, vec_col)
+
+
+def cluster_balanced_sample(
+    vectors: DataFrame,
+    centroids: np.ndarray,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_shards: int = 8,
+) -> DataFrame:
+    """SemDeDup-flavor cluster-balanced coreset sampling: assign every
+    vector to its nearest coarse centroid (ivf_assign — Arrow matmul
+    against broadcast centroids), then keep each cluster's ``k`` most
+    central vectors by (cosine-to-centroid desc, id asc). The standard
+    diversity-preserving downsample of an embedding corpus: every
+    cluster keeps representation, dominated regions don't flood the
+    sample. Returns (list_id, id, score, rank), rank 1..k per cluster.
+
+    Ranking uses the ROUNDED score as the shared sort key (the
+    tfidf_topk ulp-proof trick) so the k-cutoff is cross-engine exact;
+    with md5-picked centroids (ivf_centroids_md5) the whole operator is
+    value-hash oracle-checkable. The per-cluster pick runs through
+    curation.top_k_per_group's two-phase sharded windows — no
+    cluster-sized window partition even when one centroid captures half
+    the corpus.
+    """
+    from nous_spark.operators.curation import top_k_per_group
+
+    assign = ivf_assign(vectors, centroids, id_col, vec_col)
+    cents = vectors.sparkSession.createDataFrame(
+        [(i, [float(x) for x in centroids[i]]) for i in range(len(centroids))],
+        "list_id int, c array<double>",
+    )
+    v = F.col(vec_col).cast("array<double>")
+    dot = F.aggregate(
+        F.zip_with(v, F.col("c"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    vnorm = F.sqrt(
+        F.aggregate(F.transform(v, lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    cnorm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("c"), lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    scored = (
+        vectors.join(assign, id_col)
+        .join(F.broadcast(cents), "list_id")
+        .select(
+            "list_id",
+            F.col(id_col),
+            F.round(dot / (vnorm * cnorm), 4).alias("score"),
+        )
+    )
+    return top_k_per_group(
+        scored, k, group_col="list_id", order_col="score",
+        id_col=id_col, n_shards=n_shards,
+    )

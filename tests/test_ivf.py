@@ -106,3 +106,36 @@ def test_lsh_multiprobe_recall_improves(spark):
         recalls.append(len(got & exact) / len(exact))
     assert recalls[0] <= recalls[1] <= recalls[2]
     assert recalls[2] >= 0.9
+
+
+def test_cluster_balanced_sample_semantics(spark):
+    import os
+
+    sf_dir = os.environ.get("NOUS_TEST_SF_DIR", "/root/testdata/sf0.001")
+    from nous_spark.operators.similarity import (
+        cluster_balanced_sample,
+        ivf_assign,
+        ivf_centroids_md5,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = ivf_centroids_md5(emb, n_lists=8, seed=42)
+    out = cluster_balanced_sample(emb, cents, k=5).collect()
+    sizes = {
+        r["list_id"]: r["n"]
+        for r in ivf_assign(emb, cents).groupBy("list_id").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    by_cluster: dict[int, list] = {}
+    for r in out:
+        by_cluster.setdefault(r["list_id"], []).append(r)
+    for lid, rows in by_cluster.items():
+        # exactly min(k, cluster size) picks, ranks contiguous from 1
+        assert len(rows) == min(5, sizes[lid])
+        assert sorted(r["rank"] for r in rows) == list(range(1, len(rows) + 1))
+        # most-central first: scores non-increasing in rank order
+        ordered = [r["score"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert ordered == sorted(ordered, reverse=True)
+    # a sampled vector belongs to the cluster it was assigned to
+    assign = {r["vec_id"]: r["list_id"] for r in ivf_assign(emb, cents).collect()}
+    assert all(assign[r["vec_id"]] == r["list_id"] for r in out)
