@@ -903,6 +903,20 @@ def _q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ).otherwise(F.lit("")),
             F.lit(" at 10.0."), (did % 256).cast("string"), F.lit(".7"),
+            F.when(
+                did % 3 == 0,
+                F.concat(
+                    F.lit(" call (555) 867-"),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 5 == 0,
+                F.concat(
+                    F.lit(" fax 555-123-"),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
         ),
     )
     return pii_scrub(injected)
@@ -1743,7 +1757,15 @@ def _build_pii_scrub_sql() -> str:
                       THEN ' or +1 555-'
                            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
                       ELSE '' END ||
-                 ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS text
+                 ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' ||
+                 CASE WHEN doc_id % 3 = 0
+                      THEN ' call (555) 867-'
+                           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                      ELSE '' END ||
+                 CASE WHEN doc_id % 5 = 0
+                      THEN ' fax 555-123-'
+                           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                      ELSE '' END AS text
           FROM documents
         )
         SELECT doc_id,

@@ -860,6 +860,12 @@ def dedup_lines_corpus(
     is needed on a pure aggregation) -> a broadcast-or-shuffle join of
     lines x line-stats -> one per-doc reassembly aggregation. No
     windows, no collect.
+
+    Identity rule: line identity IS md5(line) — as with the MinHash
+    sketches, a 128-bit collision between two distinct lines would merge
+    their df/first_id (probability ~n²/2^129; accepted). The DuckDB
+    oracle groups by the raw line string, so the engines agree exactly
+    unless such a collision occurs.
     """
     from nous_spark.operators.text import lines_arr_col
 

@@ -324,10 +324,21 @@ def decode_video(content: bytes, strict: bool = False) -> tuple[np.ndarray, floa
         import av  # noqa: F401  (absent in this container)
         import io
 
-        with av.open(io.BytesIO(content)) as container:
-            stream = container.streams.video[0]
-            frames = [f.to_ndarray(format="rgb24") for f in container.decode(stream)]
-            fps = float(stream.average_rate or 25.0)
+        try:
+            with av.open(io.BytesIO(content)) as container:
+                stream = container.streams.video[0]
+                frames = [
+                    f.to_ndarray(format="rgb24") for f in container.decode(stream)
+                ]
+                fps = float(stream.average_rate or 25.0)
+        except Exception as exc:  # av failure: keep the Y4M context
+            if y4m_err is not None:
+                raise ValueError(f"{y4m_err} (PyAV also failed: {exc})") from exc
+            raise
+        if not frames:  # zero-frame container: mirror the Y4M/FVID shape
+            h = int(getattr(stream, "height", 0) or 0)
+            w = int(getattr(stream, "width", 0) or 0)
+            return np.zeros((0, h, w, 3), np.uint8), fps
         return np.stack(frames), fps
     except ImportError as exc:
         if strict:

@@ -256,7 +256,9 @@ def ivf_ann_topk(
     """
     q = np.array(query, dtype=np.float64)
     q /= max(np.linalg.norm(q), 1e-12)
-    order = np.argsort(-(centroids @ q))[:nprobe]
+    # kind='stable' so exact similarity ties keep ascending list_id —
+    # the same tiebreak the generated DuckDB oracle's ORDER BY uses.
+    order = np.argsort(-(centroids @ q), kind="stable")[:nprobe]
     probe = [int(c) for c in order]
     cand_ids = assignments.filter(F.col("list_id").isin(probe)).select(id_col)
     cands = vectors.join(cand_ids, id_col, "left_semi")
@@ -421,7 +423,9 @@ def lsh_ann_topk(
     # candidate flip masks ranked by total margin flipped (Lv et al.'s
     # multiprobe ordering, restricted to flips of up to 3 bits — enough
     # to reach any bucket a near neighbor plausibly landed in at n<=16)
-    order = np.argsort(np.abs(proj))
+    # kind='stable' so exact |margin| ties keep ascending plane index —
+    # the same tiebreak the generated DuckDB oracle's ORDER BY uses.
+    order = np.argsort(np.abs(proj), kind="stable")
     margins = [abs(proj[order[i]]) for i in range(n_planes)]
     bits = [1 << int(order[i]) for i in range(n_planes)]
     masks: list[tuple[float, int]] = []

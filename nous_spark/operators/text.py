@@ -405,15 +405,24 @@ def tfidf_topk_terms(
 
 # ------------------------------------------------------------- pii scrubbing
 # Patterns restricted to syntax that parses AND matches identically under
-# Java regex (Spark) and RE2 (DuckDB): character classes, bounded repeats,
-# non-capturing groups, \b word boundaries — no backreferences/lookaround
-# (RE2 lacks them). Order matters: emails first (their local parts contain
-# digits), then IPv4, then phones; replacement tokens are digit-free so a
-# later pattern can never match inside an earlier substitution.
+# Java regex (Spark), RE2 (DuckDB), and Python re: character classes,
+# bounded repeats, non-capturing groups, \b word boundaries — no
+# backreferences/lookaround (RE2 lacks them). Order matters: emails first
+# (their local parts contain digits), then IPv4, then phones; replacement
+# tokens are digit-free so a later pattern can never match inside an
+# earlier substitution. The phone alternates start with mutually exclusive
+# characters ('+', '(', digit), so Java/RE2 leftmost-first alternation
+# order can never diverge between engines.
 PII_PATTERNS: list[tuple[str, str, str]] = [
     ("emails", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4s", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
-    ("phones", r"\+\d{1,3}[ -]\d{3}[ -]?\d{4}\b", "<PHONE>"),
+    (
+        "phones",
+        r"\+\d{1,3}[ -]\d{3}[ -]?\d{4}\b"  # international: +1 555-0100
+        r"|\(\d{3}\) ?\d{3}-\d{4}\b"  # US paren: (555) 123-4567
+        r"|\b\d{3}-\d{3}-\d{4}\b",  # US dashed: 555-123-4567
+        "<PHONE>",
+    ),
 ]
 
 
@@ -427,6 +436,12 @@ def pii_scrub(
     gets (the C4/FineWeb email/IP/phone rule): replace each pattern
     with its digit-free token and count the hits. Returns one row per
     doc: (id, n_<name> per pattern, text_redacted).
+
+    Count semantics: each ``n_<name>`` counts pattern hits in the RAW
+    input text, not substitutions performed — a match consumed by an
+    earlier replacement (an IPv4 inside an email domain like
+    a@10.0.0.7.net) is still counted but yields no token in
+    ``text_redacted``. The DuckDB oracle shares this rule exactly.
 
     Pure Column pipeline (regexp_count + chained regexp_replace —
     whole-stage codegen, no Python workers, no shuffle at all: a

@@ -159,3 +159,57 @@ def test_pii_scrub_counts_and_redaction(spark):
     assert out[3]["text_redacted"] == docs.collect()[2]["text"]
     assert (out[3]["n_emails"], out[3]["n_phones"], out[3]["n_ipv4s"]) == (0, 0, 0)
     assert "<IP>" in out[4]["text_redacted"]
+
+
+def test_pii_scrub_us_phone_forms_three_engine_parity(spark):
+    """The US paren/dashed phone forms must match identically under Java
+    regex (Spark), RE2 (DuckDB), and Python re — same counts, same
+    redacted text, on edge cases at alternation and \\b boundaries."""
+    import re
+
+    import duckdb
+
+    from nous_spark.operators.text import PII_PATTERNS, pii_scrub
+
+    texts = [
+        (1, "call (555) 123-4567 today"),  # paren form, space variant
+        (2, "or (555)123-4567 tight"),  # paren form, no space
+        (3, "dial 555-123-4567 direct"),  # dashed form
+        (4, "intl +1 555-123-4567 mixed"),  # +CC prefix then a US form
+        (5, "not-a-phone 5551-123-4567 nor 555-123-45678"),  # \b guards
+        (6, "two (555) 867-5309 and 555-123-0000 hits"),
+        (7, "a@10.0.0.7.net email eats the ip"),  # raw-count semantics
+    ]
+    docs = spark.createDataFrame(texts, DOC_SCHEMA)
+    out = _by_id(pii_scrub(docs).collect())
+    assert out[1]["n_phones"] == 1 and out[1]["text_redacted"] == "call <PHONE> today"
+    assert out[2]["n_phones"] == 1 and out[2]["text_redacted"] == "or <PHONE> tight"
+    assert out[3]["n_phones"] == 1 and out[3]["text_redacted"] == "dial <PHONE> direct"
+    # +1 555-123-4567: the +CC alternate needs 4 trailing digits so the
+    # dashed US form wins the 555-123-4567 suffix
+    assert out[4]["n_phones"] == 1 and out[4]["text_redacted"] == "intl +1 <PHONE> mixed"
+    assert out[5]["n_phones"] == 0
+    assert out[6]["n_phones"] == 2
+    # counts are raw-text hits: the IPv4 inside the email is counted but
+    # produces no <IP> token (the email replacement consumed it)
+    assert out[7]["n_emails"] == 1 and out[7]["n_ipv4s"] == 1
+    assert "<IP>" not in out[7]["text_redacted"]
+
+    con = duckdb.connect()
+    for doc_id, text in texts:
+        red_py = text
+        for name, pat, tok in PII_PATTERNS:
+            n_py = len(re.findall(pat, text))
+            n_duck = con.execute(
+                "select len(regexp_extract_all(?, ?))", [text, pat]
+            ).fetchone()[0]
+            assert n_py == n_duck == out[doc_id][f"n_{name}"], (doc_id, name)
+            red_py = re.sub(pat, tok, red_py)
+        red_duck = con.execute(
+            "select "
+            + "".join("regexp_replace(" for _ in PII_PATTERNS)
+            + "?"
+            + "".join(f", '{p}', '{t}', 'g')" for _, p, t in PII_PATTERNS),
+            [text],
+        ).fetchone()[0]
+        assert red_py == red_duck == out[doc_id]["text_redacted"], doc_id
