@@ -855,6 +855,36 @@ def _q_doc_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_lines_corpus(_t(spark, sf_dir, "documents"), min_df=2)
 
 
+# 20-token license paragraph injected into every 7th doc — identically
+# here and in the generated DuckDB oracle — so substring dedup always
+# has cross-doc >= min_len spans to remove, at every SF.
+_LICENSE_SPAN = (
+    "LICENSE this work is provided as is without warranty of any kind "
+    "express or implied including merchantability fitness and noninfringement"
+)
+
+
+def _q_doc_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr duplicate-span removal (Lee et al. 2022): a fixed
+    20-token license paragraph is appended to doc_id % 7 == 0 docs
+    (plus whatever natural near-dup spans the corpus holds); every
+    occurrence outside the smallest doc_id is masked. Token counts,
+    span counts and the rebuilt text are value-hash-checked."""
+    from nous_spark.operators.dedup import substring_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0, F.lit(" " + _LICENSE_SPAN)
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return substring_dedup(injected, min_len=13)
+
+
 def _q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-3-style benchmark decontamination: docs with doc_id % 10 == 0
     stand in for the eval/benchmark set; every other doc is flagged if
@@ -1139,13 +1169,14 @@ def _q_kg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER CONTRACT: the driver's CORRECTNESS artifact evaluates the
-    # FIRST 50 entries only. All 60 oracled entries precede the 2
-    # rows-only ones; overflow slots 51-60 hold oracled queries with no
-    # unique SURVEY §2 responsibility (the generic TPC-H/left-join set —
-    # green in the r1-r3 driver artifacts — plus doc_curation_pipeline
-    # and emb_cluster_sample, whose constituent stages all have their
-    # own in-window rows), still pytest-gated via test_oracle_parity,
-    # which runs ALL entries.
+    # FIRST 50 entries only. All 61 oracled entries precede the 2
+    # rows-only ones; overflow slots 51-61 hold oracled queries with no
+    # unique SURVEY §2 responsibility (ann_cosine_scores — E1 triple-
+    # covered in-window — plus the generic TPC-H/left-join set, green in
+    # the r1-r3 driver artifacts, plus doc_curation_pipeline and
+    # emb_cluster_sample, whose constituent stages all have their own
+    # in-window rows), still pytest-gated via test_oracle_parity, which
+    # runs ALL entries.
     return {
         "kg_recall_lookup": _q_kg_recall,
         "kg_pipeline_triples": _q_kg_pipeline,
@@ -1161,13 +1192,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_segment_collect": _q_collect_distinct,
         "doc_repetition_signals": _q_doc_repetition_signals,
         "doc_dedup_lines": _q_doc_dedup_lines,
+        "doc_substring_dedup": _q_doc_substring_dedup,
         "doc_decontaminate": _q_doc_decontaminate,
         "doc_top_k_per_source": _q_doc_top_k_per_source,
         "doc_pii_scrub": _q_doc_pii_scrub,
         "doc_token_budget_mix": _q_doc_token_budget_mix,
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_token_stats": _q_doc_token_stats,
-        "ann_cosine_scores": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "kg_neighborhood_lookup": _q_kg_neighborhood,
@@ -1204,6 +1235,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # customers_without_orders, D1/D7 nation_segment_collect, D4-D6/
         # B7/E2/F7 the usage_* set) — to give the six first-class
         # pretraining-curation ops driver correctness rows instead.
+        # Round-5: ann_cosine_scores displaced by doc_substring_dedup —
+        # its E1 duty (vector top-k + threshold) stays triple-covered
+        # in-window by ann_batch_topk, ann_lsh_topk/ann_ivf_topk and
+        # kg_rag_recall_stored.
+        "ann_cosine_scores": _q_ann_cosine,
         "tpch_q1_pricing_summary": _q_tpch_q1,
         "tpch_q3_shipping_priority": _q_tpch_q3,
         "tpch_q5_local_supplier": _q_tpch_q5,
@@ -1732,6 +1768,77 @@ def _build_simhash_md5_sql() -> str:
     """
 
 
+def _build_substring_dedup_sql(k: int = 13) -> str:
+    """DuckDB mirror of dedup.substring_dedup (keep_first, cross-doc)
+    over the license-injected documents table — the identical gram-
+    coverage rule: md5 word-k-gram table -> min(doc_id) per gram ->
+    occurrences in later docs explode to covered token positions ->
+    anti-join token rows -> per-doc rebuild. Generated with the same
+    ``k`` and _LICENSE_SPAN as the Spark wrapper so the two can never
+    drift."""
+    return f"""
+        WITH injected AS (
+          SELECT doc_id,
+                 text || CASE WHEN doc_id % 7 = 0
+                              THEN ' {_LICENSE_SPAN}' ELSE '' END AS text
+          FROM documents
+        ),
+        toks AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                      ELSE string_split_regex(trim(text), '\\s+') END AS w
+          FROM injected
+        ),
+        grams AS (
+          SELECT tk.doc_id, s.i - 1 AS pos,
+                 md5(array_to_string(tk.w[s.i : s.i + {k - 1}], ' ')) AS gh
+          FROM toks tk, unnest(generate_series(1, len(tk.w) - {k} + 1)) AS s(i)
+        ),
+        stats AS (
+          SELECT gh, min(doc_id) AS first_id FROM grams GROUP BY gh
+        ),
+        dup AS (
+          SELECT g.doc_id, g.pos
+          FROM grams g JOIN stats st ON st.gh = g.gh
+          WHERE g.doc_id > st.first_id
+        ),
+        covered AS (
+          SELECT DISTINCT d.doc_id, d.pos + o.j AS cpos
+          FROM dup d, unnest(generate_series(0, {k - 1})) AS o(j)
+        ),
+        tok_rows AS (
+          SELECT tk.doc_id, s.i - 1 AS tpos, tk.w[s.i] AS tok
+          FROM toks tk, unnest(generate_series(1, len(tk.w))) AS s(i)
+        ),
+        rebuilt AS (
+          SELECT r.doc_id, string_agg(r.tok, ' ' ORDER BY r.tpos) AS text_clean
+          FROM tok_rows r
+          LEFT JOIN covered c ON c.doc_id = r.doc_id AND c.cpos = r.tpos
+          WHERE c.cpos IS NULL
+          GROUP BY r.doc_id
+        ),
+        spans AS (
+          SELECT doc_id, COUNT(*) AS n_dup_tokens,
+                 SUM(CASE WHEN prev IS NULL OR prev != cpos - 1
+                          THEN 1 ELSE 0 END) AS n_dup_spans
+          FROM (
+            SELECT doc_id, cpos,
+                   lag(cpos) OVER (PARTITION BY doc_id ORDER BY cpos) AS prev
+            FROM covered
+          )
+          GROUP BY doc_id
+        )
+        SELECT tk.doc_id,
+               CAST(len(tk.w) AS BIGINT) AS n_tokens,
+               CAST(coalesce(sp.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+               CAST(coalesce(sp.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+               coalesce(rb.text_clean, '') AS text_clean
+        FROM toks tk
+        LEFT JOIN rebuilt rb ON rb.doc_id = tk.doc_id
+        LEFT JOIN spans sp ON sp.doc_id = tk.doc_id
+    """
+
+
 def _build_pii_scrub_sql() -> str:
     """GENERATED from text.PII_PATTERNS (the CLAUDE.md shared-table
     rule): counts via regexp_extract_all, redaction via the same
@@ -1922,6 +2029,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN kept k USING (doc_id)
             GROUP BY d.doc_id
         """,
+        "doc_substring_dedup": _build_substring_dedup_sql(),
         "doc_decontaminate": """
             WITH tok AS (
               SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws

@@ -964,3 +964,141 @@ def decontaminate(
         F.coalesce("n_shared_grams", F.lit(0).cast("long")).alias("n_shared_grams"),
         (F.coalesce("n_shared_grams", F.lit(0)) > 0).alias("contaminated"),
     )
+
+
+# --------------------------------------------------------------------------
+# substring-level exact dedup (duplicate-span removal)
+# --------------------------------------------------------------------------
+def substring_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 13,
+    keep_first: bool = True,
+    within_doc: bool = False,
+) -> DataFrame:
+    """ExactSubstr-style duplicate-SPAN removal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): any
+    token span of length >= ``min_len`` that also occurs in another
+    document is masked out — the partial-copy layer (reflowed licenses,
+    quoted paragraphs, syndicated ledes) that document-level and
+    line-level dedup both miss.
+
+    Exact rule (word granularity; whitespace-split tokens): a token at
+    position t of doc d is removed iff some ``min_len``-gram covering t
+    (start in [t-min_len+1, t]) also occurs in a doc with a smaller id
+    (``keep_first=True`` — the corpus-first doc keeps its copy) or in
+    ANY other doc (``keep_first=False`` — Lee et al.'s drop-all-copies
+    convention), or earlier in the SAME doc when ``within_doc=True``.
+    This gram-coverage formulation is provably equivalent to "remove
+    every shared substring of >= min_len tokens": a shared span of
+    length L >= min_len is covered end-to-end by its L-min_len+1 shared
+    grams, and no span shorter than min_len produces a shared gram.
+
+    Returns one row per input doc: (id, n_tokens, n_dup_tokens,
+    n_dup_spans, text_clean) with surviving tokens space-rejoined in
+    original order (whitespace is canonicalized — this operator is
+    word-level, not byte-level). Docs shorter than ``min_len`` tokens
+    pass through untouched (no grams).
+
+    Scale — deliberately NOT the suffix-array build the paper uses and
+    NOT a pairwise candidate design: one corpus-wide gram table (the
+    dedup_lines_corpus architecture at k-gram granularity):
+
+      posexplode (id, pos, md5(gram))
+        -> ONE hash aggregation keyed by the 16-byte gram md5
+           (map-side combine pre-aggregates the billion-fold
+           boilerplate gram per task — a pure aggregation needs no
+           hot-key cap)
+        -> join grams x gram-stats (stats side unique per key)
+        -> explode dup grams to covered positions (bounded x min_len),
+           distinct, anti-join against the token table
+        -> per-doc reassembly aggregation.
+
+    Everything is linear in total tokens with no window, no pairs, no
+    collect — recall is 1 by construction (winnowing-anchor blocking
+    would subsample grams and miss spans). Gram identity IS md5(gram)
+    (128-bit collision caveat as dedup_lines_corpus); the DuckDB oracle
+    shares the md5 keys. No persist: the gram lineage is recomputed by
+    its two consumers rather than materializing a corpus-scale cache
+    (same trade as dedup_lines_corpus).
+    """
+    k = min_len
+    trimmed = F.trim(F.col(text_col))
+    toks_col = F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+    base = docs.select(F.col(id_col), toks_col.alias("_toks"))
+    gram_arr = F.when(
+        F.size("_toks") >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size("_toks") - k),
+            lambda i: F.md5(F.concat_ws(" ", F.slice("_toks", i + 1, k)).cast("binary")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = base.select(F.col(id_col), F.posexplode(gram_arr).alias("pos", "gh"))
+    stats = grams.groupBy("gh").agg(
+        F.countDistinct(id_col).alias("_df"), F.min(id_col).alias("_first_id")
+    )
+    flagged = grams.join(stats, "gh")
+    if keep_first:
+        dup_cond = F.col(id_col) > F.col("_first_id")
+    else:
+        dup_cond = F.col("_df") >= 2
+    if within_doc:
+        occ = grams.groupBy(id_col, "gh").agg(F.min("pos").alias("_min_pos"))
+        flagged = flagged.join(occ, [id_col, "gh"])
+        dup_cond = dup_cond | (F.col("pos") > F.col("_min_pos"))
+    covered = (
+        flagged.filter(dup_cond)
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("t"),
+        )
+        .distinct()
+    )
+    tokens = base.select(F.col(id_col), F.posexplode("_toks").alias("t", "tok"))
+    rebuilt = (
+        tokens.join(covered, [id_col, "t"], "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("t", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            ).alias("text_clean")
+        )
+    )
+    # span stats: sorted covered positions per doc; a span starts where
+    # the previous position is not t-1 (CASE WHEN short-circuits, so
+    # element_at is never evaluated at lambda index 0 under ANSI mode)
+    span_stats = (
+        covered.groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("t")).alias("_ts"))
+        .select(
+            F.col(id_col),
+            F.size("_ts").cast("long").alias("n_dup_tokens"),
+            F.size(
+                F.filter(
+                    F.col("_ts"),
+                    lambda x, i: F.when(i == 0, F.lit(True)).otherwise(
+                        x - F.element_at(F.col("_ts"), i) != 1
+                    ),
+                )
+            ).cast("long").alias("n_dup_spans"),
+        )
+    )
+    return (
+        base.select(F.col(id_col), F.size("_toks").cast("long").alias("n_tokens"))
+        .join(rebuilt, id_col, "left")
+        .join(span_stats, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("n_dup_tokens", F.lit(0).cast("long")).alias("n_dup_tokens"),
+            F.coalesce("n_dup_spans", F.lit(0).cast("long")).alias("n_dup_spans"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )

@@ -213,3 +213,82 @@ def test_pii_scrub_us_phone_forms_three_engine_parity(spark):
             [text],
         ).fetchone()[0]
         assert red_py == red_duck == out[doc_id]["text_redacted"], doc_id
+
+
+SPAN15 = " ".join(f"w{i}" for i in range(15))  # a 15-token shared span
+
+
+def test_substring_dedup_keep_first_and_short_docs(spark):
+    from nous_spark.operators.dedup import substring_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta " + SPAN15 + " gamma"),
+            (2, "delta " + SPAN15 + " epsilon zeta"),
+            (3, "wholly unique filler " + " ".join(f"u{i}" for i in range(20))),
+            (4, ""),
+            (5, "too short for any gram"),
+            (6, SPAN15),  # the span IS the whole doc
+        ],
+        DOC_SCHEMA,
+    )
+    out = _by_id(substring_dedup(docs, min_len=13).collect())
+    # doc 1 is the corpus-first holder of the span: untouched
+    assert out[1]["n_dup_tokens"] == 0
+    assert out[1]["text_clean"] == "alpha beta " + SPAN15 + " gamma"
+    # docs 2 and 6 lose exactly the 15 span tokens, one maximal span each
+    for d, left in ((2, "delta epsilon zeta"), (6, "")):
+        assert (out[d]["n_dup_tokens"], out[d]["n_dup_spans"]) == (15, 1)
+        assert out[d]["text_clean"] == left
+    assert out[3]["n_dup_tokens"] == 0
+    assert (out[4]["n_tokens"], out[4]["text_clean"]) == (0, "")
+    assert (out[5]["n_dup_tokens"], out[5]["text_clean"]) == (
+        0,
+        "too short for any gram",
+    )
+
+
+def test_substring_dedup_drop_all_and_span_boundaries(spark):
+    from nous_spark.operators.dedup import substring_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "x " + SPAN15 + " y"), (2, SPAN15)], DOC_SCHEMA
+    )
+    # keep_first=False: Lee et al.'s drop-ALL-copies convention
+    strict = _by_id(substring_dedup(docs, min_len=13, keep_first=False).collect())
+    assert strict[1]["text_clean"] == "x y" and strict[1]["n_dup_tokens"] == 15
+    assert strict[2]["text_clean"] == "" and strict[2]["n_dup_spans"] == 1
+    # a shared span one token SHORTER than min_len is never touched
+    short = " ".join(f"s{i}" for i in range(12))
+    docs12 = spark.createDataFrame([(1, "a " + short), (2, short + " b")], DOC_SCHEMA)
+    out12 = _by_id(substring_dedup(docs12, min_len=13).collect())
+    assert out12[1]["n_dup_tokens"] == 0 and out12[2]["n_dup_tokens"] == 0
+
+
+def test_substring_dedup_within_doc_and_disjoint_spans(spark):
+    from nous_spark.operators.dedup import substring_dedup
+
+    # within-doc repeat: second copy masked only when within_doc=True
+    rep = spark.createDataFrame([(1, SPAN15 + " mid " + SPAN15)], DOC_SCHEMA)
+    off = _by_id(substring_dedup(rep, min_len=13).collect())
+    assert off[1]["n_dup_tokens"] == 0
+    on = _by_id(substring_dedup(rep, min_len=13, within_doc=True).collect())
+    assert on[1]["n_dup_tokens"] == 15 and on[1]["n_dup_spans"] == 1
+    assert on[1]["text_clean"] == SPAN15 + " mid"
+    # two disjoint shared spans in one doc count as two maximal spans
+    span_b = " ".join(f"q{i}" for i in range(14))
+    docs = spark.createDataFrame(
+        [(1, SPAN15 + " unrelated middle words here " + span_b), (2, SPAN15), (3, span_b)],
+        DOC_SCHEMA,
+    )
+    out = _by_id(substring_dedup(docs, min_len=13).collect())
+    assert (out[2]["n_dup_tokens"], out[3]["n_dup_tokens"]) == (15, 14)
+    assert out[1]["n_dup_tokens"] == 0  # doc 1 is first for both grams
+    two = spark.createDataFrame(
+        [(0, SPAN15), (1, SPAN15 + " unrelated middle words here " + span_b), (2, span_b)],
+        DOC_SCHEMA,
+    )
+    out2 = _by_id(substring_dedup(two, min_len=13).collect())
+    # doc 1: loses SPAN15 (first in doc 0) but keeps span_b (doc 1 is first)
+    assert out2[1]["n_dup_tokens"] == 15 and out2[1]["n_dup_spans"] == 1
+    assert out2[1]["text_clean"] == "unrelated middle words here " + span_b

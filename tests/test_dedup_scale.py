@@ -318,3 +318,45 @@ def test_dedup_lines_hot_line_is_pure_aggregation(spark):
     sample = {r["doc_id"]: r["text_clean"] for r in out.filter("doc_id in (0, 4321)").collect()}
     assert sample[0] == "ACCEPT COOKIES\nunique payload 0"
     assert sample[4321] == "unique payload 4321"
+
+
+def test_substring_dedup_hot_gram_is_pure_aggregation(spark):
+    """The boilerplate-license span shared by EVERY doc is the hot key.
+    substring_dedup is aggregation-shaped (map-side combine on the gram
+    md5, no pair join anywhere in the plan), so 5k docs sharing a
+    20-token license must dedup correctly at aggregation cost: every doc
+    but doc 0 loses exactly the 20 license tokens as ONE maximal span and
+    keeps its unique 16-token body."""
+    from nous_spark.operators.dedup import substring_dedup
+
+    n = 5000
+    lic = " ".join(f"lic{i}" for i in range(20))
+    # the first body token is doc-unique (u{i}) so no boundary-straddling
+    # gram is shared — coverage is exactly the 20 license tokens
+    docs = spark.createDataFrame(
+        [(i, f"{lic} u{i} " + " ".join(f"b{i}x{j}" for j in range(14)))
+         for i in range(n)],
+        "doc_id long, text string",
+    )
+    out = substring_dedup(docs, min_len=13)
+    agg = out.selectExpr(
+        "sum(n_dup_tokens) AS dup",
+        "sum(n_dup_spans) AS spans",
+        "sum(n_tokens) AS total",
+    ).first()
+    assert agg["dup"] == (n - 1) * 20
+    assert agg["spans"] == n - 1
+    assert agg["total"] == n * 35
+    sample = {
+        r["doc_id"]: r
+        for r in out.filter("doc_id in (0, 4321)").collect()
+    }
+    assert sample[0]["n_dup_tokens"] == 0 and sample[0]["text_clean"].startswith(lic)
+    assert sample[4321]["n_dup_tokens"] == 20
+    assert sample[4321]["text_clean"].startswith("u4321 b4321x0")
+    # no pairwise operator in the physical plan: a join keyed by the
+    # gram hash and aggregations only — assert no CartesianProduct /
+    # BroadcastNestedLoopJoin snuck in
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan

@@ -193,3 +193,69 @@ def test_dedup_lines_matches_python_reference(spark, corpora):
         for r in dedup_lines_corpus(sdf, min_df=2).collect()
     }
     assert got == want
+
+
+def _py_substring_dedup(docs, k, keep_first=True, within_doc=False):
+    """Pure-Python reference for dedup.substring_dedup: the same
+    gram-coverage rule, O(n²)-naive on purpose. Space-only whitespace
+    inputs keep Python split == Spark \\s+ split semantics."""
+    toks = {}
+    for d, t in docs:
+        tt = t.strip(" ")
+        toks[d] = [w for w in tt.split(" ") if w] if tt else []
+    occs: dict[tuple, list] = {}
+    for d in sorted(toks):
+        w = toks[d]
+        for i in range(len(w) - k + 1):
+            occs.setdefault(tuple(w[i : i + k]), []).append((d, i))
+    covered: dict[int, set] = {d: set() for d in toks}
+    for occ in occs.values():
+        ds = {d for d, _ in occ}
+        fd = min(ds)
+        minpos: dict[int, int] = {}
+        for d, p in occ:
+            minpos[d] = min(minpos.get(d, p), p)
+        for d, p in occ:
+            dup = len(ds) >= 2 and (not keep_first or d > fd)
+            if within_doc and p > minpos[d]:
+                dup = True
+            if dup:
+                covered[d].update(range(p, p + k))
+    out = {}
+    for d, w in toks.items():
+        cov = sorted(covered[d])
+        spans = sum(1 for j, t in enumerate(cov) if j == 0 or cov[j - 1] != t - 1)
+        clean = " ".join(tok for t, tok in enumerate(w) if t not in covered[d])
+        out[d] = (len(w), len(cov), spans, clean)
+    return out
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), max_size=12),
+        min_size=1,
+        max_size=5,
+    ),
+    st.integers(min_value=2, max_value=3),
+    st.booleans(),
+    st.booleans(),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_substring_dedup_matches_python_reference(
+    spark, corpora, k, keep_first, within_doc
+):
+    """substring_dedup == the naive pure-Python gram-coverage reference
+    on arbitrary small corpora over a 3-word vocabulary (maximal gram
+    collisions), across all four keep_first x within_doc modes."""
+    from nous_spark.operators.dedup import substring_dedup
+
+    docs = [(i, " ".join(words)) for i, words in enumerate(corpora)]
+    want = _py_substring_dedup(docs, k, keep_first, within_doc)
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_dup_tokens"], r["n_dup_spans"], r["text_clean"])
+        for r in substring_dedup(
+            sdf, min_len=k, keep_first=keep_first, within_doc=within_doc
+        ).collect()
+    }
+    assert got == want
