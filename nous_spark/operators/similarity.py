@@ -92,6 +92,14 @@ def batch_cosine_topk(
 
     The query set is collected once and broadcast (it is the small side —
     same contract as F.broadcast on a dim table).
+
+    Two-phase (same trick as curation.top_k_per_group): each Arrow batch
+    keeps only its k best rows per query — under the IDENTICAL
+    (score desc, id asc) total order the final window uses, so the
+    global top-k per query is provably contained in the union of
+    per-batch top-ks (any global winner beats its batch-mates too, ties
+    included). The shuffle into the window carries ~n_batches*k rows per
+    query instead of the full n_vectors x n_queries cross product.
     """
     qrows = queries.select(q_id_col, q_vec_col).collect()
     q_ids = [r[q_id_col] for r in qrows]
@@ -109,11 +117,29 @@ def batch_cosine_topk(
             vn = vm / np.maximum(np.linalg.norm(vm, axis=1, keepdims=True), 1e-12)
             scores = vn @ qmat.T  # (batch, n_queries)
             n_b, n_q = scores.shape
+            vec_ids = pdf[id_col].to_numpy()
+            if n_b <= k:  # nothing to prune
+                yield pd.DataFrame(
+                    {
+                        q_id_col: np.repeat(ids, n_b),
+                        id_col: np.tile(vec_ids, n_q),
+                        "score": scores.T.ravel(),
+                    }
+                )
+                continue
+            # partial top-k per query under the window's exact total
+            # order: lexsort keys are (secondary=-score, primary=id) —
+            # np.lexsort sorts by the LAST key first, so ties on score
+            # fall back to ascending id, matching row_number()'s
+            # (desc(score), asc(id)) ordering tie-for-tie
+            sel = [np.lexsort((vec_ids, -scores[:, j]))[:k] for j in range(n_q)]
             yield pd.DataFrame(
                 {
-                    q_id_col: np.repeat(ids, n_b),
-                    id_col: np.tile(pdf[id_col].to_numpy(), n_q),
-                    "score": scores.T.ravel(),
+                    q_id_col: np.repeat(ids, k),
+                    id_col: np.concatenate([vec_ids[s] for s in sel]),
+                    "score": np.concatenate(
+                        [scores[s, j] for j, s in enumerate(sel)]
+                    ),
                 }
             )
 

@@ -139,3 +139,51 @@ def test_cluster_balanced_sample_semantics(spark):
     # a sampled vector belongs to the cluster it was assigned to
     assign = {r["vec_id"]: r["list_id"] for r in ivf_assign(emb, cents).collect()}
     assert all(assign[r["vec_id"]] == r["list_id"] for r in out)
+
+
+def test_batch_cosine_topk_partial_prune_exact_on_ties(spark):
+    """The per-batch partial top-k must be invisible: with exact score
+    ties spanning multiple partitions (duplicate vectors, k smaller than
+    the tie group), the result equals the brute-force (score desc, id
+    asc) ranking row for row."""
+    from nous_spark.operators.similarity import batch_cosine_topk
+
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((4, DIM))
+    rows = []
+    for vid in range(64):
+        # four exact-duplicate directions, interleaved by id so every
+        # partition holds members of every tie group
+        v = base[vid % 4] * (1.0 + (vid % 4))  # scaled copies: same cosine
+        rows.append((vid, [float(x) for x in v]))
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(8)
+    queries = spark.createDataFrame(
+        [(j, [float(x) for x in base[j]]) for j in range(4)],
+        "q_id long, q_vec array<double>",
+    )
+    k = 5
+    got = sorted(
+        (r["q_id"], r["rank"], r["vec_id"], round(r["score"], 9))
+        for r in batch_cosine_topk(vecs, queries, k=k).collect()
+    )
+    # brute-force reference in the same float64 math
+    vm = np.array([v for _, v in rows])
+    vm /= np.linalg.norm(vm, axis=1, keepdims=True)
+    qm = base / np.linalg.norm(base, axis=1, keepdims=True)
+    want = []
+    for j in range(4):
+        s = vm @ qm[j]
+        order = np.lexsort((np.arange(64), -s))[:k]
+        want.extend(
+            (j, rank + 1, int(vid), round(float(s[vid]), 9))
+            for rank, vid in enumerate(order)
+        )
+    assert got == sorted(want)
+    # the 16 exact duplicates of each direction tie at score 1.0 — the
+    # k winners must be the smallest ids of the tie group (0,4,8,...)
+    top_ids = {q: [] for q in range(4)}
+    for q, rank, vid, score in got:
+        top_ids[q].append(vid)
+    assert top_ids[0] == [0, 4, 8, 12, 16]
