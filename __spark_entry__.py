@@ -855,6 +855,28 @@ def _q_doc_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_lines_corpus(_t(spark, sf_dir, "documents"), min_df=2)
 
 
+def _q_doc_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-granularity C4 dedup: the flat documents text is given
+    deterministic paragraph structure (every ' merge ' becomes a blank
+    line — plain string replace, identical in DuckDB) and every 3rd doc
+    gains a shared two-line footer paragraph; blocks occurring in >= 2
+    docs are removed corpus-wide (first doc keeps its copy)."""
+    from nous_spark.operators.dedup import dedup_lines_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.withColumn(
+        "text",
+        F.concat(
+            F.replace(F.col("text"), F.lit(" merge "), F.lit("\n\n")),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("\n\nsubscribe to our newsletter\nunsubscribe anytime"),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return dedup_lines_corpus(injected, min_df=2, granularity="paragraph")
+
+
 # 20-token license paragraph injected into every 7th doc — identically
 # here and in the generated DuckDB oracle — so substring dedup always
 # has cross-doc >= min_len spans to remove, at every SF.
@@ -1169,8 +1191,8 @@ def _q_kg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER CONTRACT: the driver's CORRECTNESS artifact evaluates the
-    # FIRST 50 entries only. All 61 oracled entries precede the 2
-    # rows-only ones; overflow slots 51-61 hold oracled queries with no
+    # FIRST 50 entries only. All 62 oracled entries precede the 2
+    # rows-only ones; overflow slots 51-62 hold oracled queries with no
     # unique SURVEY §2 responsibility (ann_cosine_scores — E1 triple-
     # covered in-window — plus the generic TPC-H/left-join set, green in
     # the r1-r3 driver artifacts, plus doc_curation_pipeline and
@@ -1250,6 +1272,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_with_1995_orders": _q_semi_join,
         "doc_curation_pipeline": _q_doc_curation_pipeline,
         "emb_cluster_sample": _q_emb_cluster_sample,
+        # paragraph-granularity variant of the in-window doc_dedup_lines
+        # (same md5-keyed aggregation, different unit column) — its C4
+        # span-dedup duty is in-window via doc_dedup_lines AND
+        # doc_substring_dedup
+        "doc_dedup_paragraphs": _q_doc_dedup_paragraphs,
         # rows-only (non-SQL-expressible: xxhash64 sketch, Python query
         # embedder)
         "doc_simhash_near_dups": _q_simhash_near_dups,
@@ -2025,6 +2052,47 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(
                      string_agg(CASE WHEN keep THEN line END, chr(10)
                                 ORDER BY pos),
+                     '') AS text_clean
+            FROM documents d LEFT JOIN kept k USING (doc_id)
+            GROUP BY d.doc_id
+        """,
+        "doc_dedup_paragraphs": """
+            WITH injected AS (
+              SELECT doc_id,
+                     replace(text, ' merge ', chr(10) || chr(10)) ||
+                     CASE WHEN doc_id % 3 = 0
+                          THEN chr(10) || chr(10) ||
+                               'subscribe to our newsletter' || chr(10) ||
+                               'unsubscribe anytime'
+                          ELSE '' END AS text
+              FROM documents
+            ),
+            paras AS (
+              SELECT doc_id, i AS pos,
+                     trim(p[i], ' ' || chr(9) || chr(13) || chr(10)) AS line
+              FROM (SELECT doc_id, string_split_regex(text, '\\n\\s*\\n') AS p
+                    FROM injected),
+                   UNNEST(range(1, len(p) + 1)) AS t(i)
+              WHERE trim(p[i], ' ' || chr(9) || chr(13) || chr(10)) != ''
+            ),
+            stats AS (
+              SELECT line, count(DISTINCT doc_id) AS df,
+                     min(doc_id) AS first_id
+              FROM paras GROUP BY line
+            ),
+            kept AS (
+              SELECT l.doc_id, l.pos, l.line,
+                     (s.df < 2 OR l.doc_id = s.first_id) AS keep
+              FROM paras l JOIN stats s USING (line)
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(sum(CASE WHEN keep THEN 1 END), 0) AS BIGINT)
+                     AS n_kept,
+                   CAST(coalesce(sum(CASE WHEN NOT keep THEN 1 END), 0) AS BIGINT)
+                     AS n_dropped,
+                   coalesce(
+                     string_agg(CASE WHEN keep THEN line END,
+                                chr(10) || chr(10) ORDER BY pos),
                      '') AS text_clean
             FROM documents d LEFT JOIN kept k USING (doc_id)
             GROUP BY d.doc_id

@@ -837,6 +837,7 @@ def dedup_lines_corpus(
     text_col: str = "text",
     min_df: int = 2,
     keep_first: bool = True,
+    granularity: str = "line",
 ) -> DataFrame:
     """C4-style cross-document line deduplication: a line occurring in
     >= ``min_df`` DISTINCT documents is boilerplate (cookie banners,
@@ -847,11 +848,15 @@ def dedup_lines_corpus(
     Intra-document repeats within one surviving document are NOT
     collapsed (that is text.repetition_signals' dimension).
 
-    Lines are '\\n'-split, space-trimmed; empty lines carry no signal
-    and are dropped from the output. Returns one row per input doc:
-    (id, n_kept, n_dropped, text_clean) with the kept lines re-joined
-    in original order — deterministic, engine-independent, and fully
-    value-hash oracle-checkable in DuckDB.
+    ``granularity`` picks the dedup unit: ``"line"`` ('\\n'-split,
+    space-trimmed — text.lines_arr_col) or ``"paragraph"`` (blank-line
+    blocks, edge-whitespace-btrimmed — text.paragraphs_arr_col; closer
+    to C4's multi-sentence-span rule). Empty units carry no signal and
+    are dropped from the output. Returns one row per input doc:
+    (id, n_kept, n_dropped, text_clean) with the kept units re-joined
+    in original order ('\\n' for lines, '\\n\\n' for paragraphs) —
+    deterministic, engine-independent, and fully value-hash
+    oracle-checkable in DuckDB.
 
     Scale: posexplode -> ONE hash aggregation keyed by md5(line) (16-
     byte keys instead of arbitrary-length boilerplate lines on the
@@ -867,10 +872,16 @@ def dedup_lines_corpus(
     oracle groups by the raw line string, so the engines agree exactly
     unless such a collision occurs.
     """
-    from nous_spark.operators.text import lines_arr_col
+    from nous_spark.operators.text import lines_arr_col, paragraphs_arr_col
 
+    if granularity == "line":
+        units_col, sep = lines_arr_col(F.col(text_col)), "\n"
+    elif granularity == "paragraph":
+        units_col, sep = paragraphs_arr_col(F.col(text_col)), "\n\n"
+    else:
+        raise ValueError(f"granularity must be 'line' or 'paragraph', got {granularity!r}")
     lines = docs.select(
-        F.col(id_col), F.posexplode(lines_arr_col(F.col(text_col))).alias("pos", "line")
+        F.col(id_col), F.posexplode(units_col).alias("pos", "line")
     ).withColumn("lh", F.md5(F.col("line").cast("binary")))
     stats = lines.groupBy("lh").agg(
         F.countDistinct(id_col).alias("df"),
@@ -884,7 +895,7 @@ def dedup_lines_corpus(
         F.sum(F.col("keep").cast("long")).alias("n_kept"),
         F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
         F.concat_ws(
-            "\n",
+            sep,
             F.transform(
                 F.array_sort(
                     F.collect_list(

@@ -260,6 +260,25 @@ def lines_arr_col(text: Column) -> Column:
     )
 
 
+def paragraphs_arr_col(text: Column) -> Column:
+    """The ONE definition of "paragraphs of a document" (the C4 rule
+    actually removes multi-sentence SPANS, not single lines — blank-line
+    blocks are the document-structure analog): split on blank lines
+    (``\\n\\s*\\n`` — one or more empty/whitespace-only lines collapse
+    into one boundary), btrim each block of edge whitespace
+    (space/tab/CR/LF — paragraph identity must not hinge on a trailing
+    newline), drop empties. Internal newlines inside a paragraph are
+    preserved verbatim. DuckDB mirror: string_split_regex + trim(p,
+    ' '||chr(9)||chr(13)||chr(10)); Python mirror: re.split +
+    .strip(' \\t\\r\\n')."""
+    return F.filter(
+        F.transform(
+            F.split(text, r"\n\s*\n"), lambda p: F.btrim(p, F.lit(" \t\r\n"))
+        ),
+        lambda p: p != "",
+    )
+
+
 def repetition_signals(
     docs: DataFrame,
     id_col: str = "doc_id",

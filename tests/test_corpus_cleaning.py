@@ -292,3 +292,30 @@ def test_substring_dedup_within_doc_and_disjoint_spans(spark):
     # doc 1: loses SPAN15 (first in doc 0) but keeps span_b (doc 1 is first)
     assert out2[1]["n_dup_tokens"] == 15 and out2[1]["n_dup_spans"] == 1
     assert out2[1]["text_clean"] == "unrelated middle words here " + span_b
+
+
+def test_dedup_paragraphs_granularity(spark):
+    from nous_spark.operators.dedup import dedup_lines_corpus
+
+    footer = "subscribe now\nno spam ever"  # internal newline preserved
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro one\nstill intro\n\n{footer}"),
+            (2, f"different body text\n\n\n{footer}\n\n"),
+            (3, "no shared paragraphs here at all"),
+        ],
+        DOC_SCHEMA,
+    )
+    out = _by_id(dedup_lines_corpus(docs, min_df=2, granularity="paragraph").collect())
+    # doc 1 keeps both paragraphs (it is first for the footer)
+    assert (out[1]["n_kept"], out[1]["n_dropped"]) == (2, 0)
+    assert out[1]["text_clean"] == f"intro one\nstill intro\n\n{footer}"
+    # doc 2 loses the footer but keeps its unique paragraph; the
+    # trailing blank lines never become units
+    assert (out[2]["n_kept"], out[2]["n_dropped"]) == (1, 1)
+    assert out[2]["text_clean"] == "different body text"
+    assert (out[3]["n_kept"], out[3]["n_dropped"]) == (1, 0)
+    # line granularity on the same corpus treats the footer's two LINES
+    # separately — both shared, both dropped from doc 2
+    lines = _by_id(dedup_lines_corpus(docs, min_df=2, granularity="line").collect())
+    assert lines[2]["n_dropped"] == 2

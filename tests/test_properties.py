@@ -195,6 +195,46 @@ def test_dedup_lines_matches_python_reference(spark, corpora):
     assert got == want
 
 
+@given(
+    st.lists(st.text(alphabet="ab \n", max_size=24), min_size=1, max_size=6)
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_dedup_paragraphs_matches_python_reference(spark, texts):
+    """granularity='paragraph' == a pure-Python reference on raw text
+    over an alphabet of letters, spaces and newlines — edge blank lines,
+    \\n runs and whitespace-only paragraphs included. Mirrors Spark
+    split('\\n\\s*\\n') + btrim(' \\t\\r\\n') exactly."""
+    import re
+
+    from nous_spark.operators.dedup import dedup_lines_corpus
+
+    docs = list(enumerate(texts))
+    per_doc = {
+        i: [
+            p.strip(" \t\r\n")
+            for p in re.split(r"\n\s*\n", t)
+            if p.strip(" \t\r\n") != ""
+        ]
+        for i, t in docs
+    }
+    df: dict[str, set] = {}
+    for i, ps in per_doc.items():
+        for p in set(ps):
+            df.setdefault(p, set()).add(i)
+    first = {p: min(ids) for p, ids in df.items()}
+    want = {}
+    for i, ps in per_doc.items():
+        kept = [p for p in ps if len(df[p]) < 2 or i == first[p]]
+        want[i] = (len(kept), len(ps) - len(kept), "\n\n".join(kept))
+
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_kept"], r["n_dropped"], r["text_clean"])
+        for r in dedup_lines_corpus(sdf, min_df=2, granularity="paragraph").collect()
+    }
+    assert got == want
+
+
 def _py_substring_dedup(docs, k, keep_first=True, within_doc=False):
     """Pure-Python reference for dedup.substring_dedup: the same
     gram-coverage rule, O(n²)-naive on purpose. Space-only whitespace
