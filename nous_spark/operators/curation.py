@@ -208,6 +208,7 @@ def token_budget_mix(
     id_col: str = "doc_id",
     text_col: str = "text",
     seed: int = 42,
+    pinned_totals: dict[str, int] | None = None,
 ) -> DataFrame:
     """Domain/language mixture rebalancing to a token budget — the
     "sample each source so the training mix hits the target weights"
@@ -225,13 +226,25 @@ def token_budget_mix(
     repartitioning of the corpus, composes with any downstream op.
     The budget*w_s products are baked as literals so the only runtime
     float op is one double division, bit-identical in Spark and DuckDB.
+
+    Streaming: pass ``pinned_totals`` ({stratum: corpus token total},
+    e.g. from a prior batch profile) to replace the totals aggregation
+    with baked literal fractions — the operator becomes a fully
+    stateless Column map that runs per micro-batch on a readStream
+    frame. SEMANTICS NOTE: pinned fractions are exact only against the
+    pinned profile; if the live stream's per-stratum totals drift from
+    it, realized mix weights drift proportionally (global-totals batch
+    semantics would re-normalize). Stream == batch whenever both use
+    the same totals (tested in test_streaming).
     """
     d = docs.filter(F.col(stratum_col).isin(sorted(weights))).select(
         F.col(id_col),
         F.col(stratum_col),
         token_count_col(F.col(text_col)).cast("long").alias("n_tokens"),
     )
-    return _mix_token_frame(d, weights, budget_tokens, stratum_col, id_col, seed)
+    return _mix_token_frame(
+        d, weights, budget_tokens, stratum_col, id_col, seed, pinned_totals
+    )
 
 
 def _mix_token_frame(
@@ -241,10 +254,23 @@ def _mix_token_frame(
     stratum_col: str,
     id_col: str,
     seed: int,
+    pinned_totals: dict[str, int] | None = None,
 ) -> DataFrame:
     """token_budget_mix over a prepared (id, stratum, n_tokens) frame
     whose strata are already restricted to ``weights`` — lets composed
-    pipelines reuse one tokenized frame instead of re-counting."""
+    pipelines reuse one tokenized frame instead of re-counting. With
+    ``pinned_totals`` the keep-fractions are baked literals (no
+    aggregation, no join — streamable)."""
+    if pinned_totals is not None:
+        fr = F.lit(None).cast("double")
+        for k in sorted(weights):
+            f_k = min(
+                1.0, float(budget_tokens * weights[k]) / max(pinned_totals[k], 1)
+            )
+            fr = F.when(F.col(stratum_col) == k, F.lit(f_k)).otherwise(fr)
+        return d.filter(hash_uniform_col(F.col(id_col), seed) < fr).select(
+            id_col, stratum_col, "n_tokens"
+        )
     totals = d.groupBy(stratum_col).agg(F.sum("n_tokens").alias("_tot"))
     # the callers' isin filter is what drops unweighted strata — a NULL
     # weight here would NOT: least() skips NULLs in both Spark and

@@ -294,3 +294,63 @@ def test_stateless_curation_ops_compose_with_streaming(spark, tmp_path):
     }
     assert got == want
     assert got[1][2] == "mail <EMAIL> now"
+
+
+def test_token_budget_mix_streams_with_pinned_totals(spark, tmp_path):
+    """token_budget_mix with pinned_totals is a stateless Column map —
+    it must run per micro-batch (maxFilesPerTrigger=1, two files) and
+    agree row-for-row with BOTH the pinned-totals batch run and the
+    global-totals batch run when the pinned profile equals the actual
+    corpus totals. (With a drifting profile the realized mix drifts —
+    documented in the operator docstring; this pins the equality case.)"""
+    import time
+
+    from nous_spark.operators.curation import token_budget_mix
+
+    weights = {"en": 0.6, "de": 0.4}
+    budget = 60
+    rows = [
+        (i, "en" if i % 3 else "de", "tok " * (3 + i % 5)) for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    src = str(tmp_path / "mix_src")
+    docs.filter("doc_id < 20").coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)  # distinct mtimes -> two micro-batches in one run
+    docs.filter("doc_id >= 20").coalesce(1).write.mode("append").parquet(src)
+
+    totals = {
+        r["lang"]: r["tot"]
+        for r in docs.groupBy("lang").agg(F.expr(
+            "sum(size(split(trim(text), '\\\\s+')))").alias("tot")).collect()
+    }
+    stream = (
+        spark.readStream.schema("doc_id long, lang string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        token_budget_mix(stream, weights, budget, pinned_totals=totals)
+        .writeStream.format("memory")
+        .queryName("mix_stream_q")
+        .option("checkpointLocation", str(tmp_path / "cp_mix"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(q.recentProgress) >= 2  # genuinely multi-micro-batch
+    got = {
+        (r["doc_id"], r["lang"], r["n_tokens"])
+        for r in spark.sql("select * from mix_stream_q").collect()
+    }
+    want_pinned = {
+        (r["doc_id"], r["lang"], r["n_tokens"])
+        for r in token_budget_mix(docs, weights, budget, pinned_totals=totals).collect()
+    }
+    want_global = {
+        (r["doc_id"], r["lang"], r["n_tokens"])
+        for r in token_budget_mix(docs, weights, budget).collect()
+    }
+    assert got == want_pinned == want_global
+    assert 0 < len(got) < 40  # the budget genuinely subsamples
