@@ -980,6 +980,57 @@ def decontaminate(
 # --------------------------------------------------------------------------
 # substring-level exact dedup (duplicate-span removal)
 # --------------------------------------------------------------------------
+def _dup_covered_positions(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int,
+    keep_first: bool,
+    within_doc: bool,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared core of substring_dedup / dup_span_signals: tokenize, build
+    the corpus-wide md5 k-gram table, flag duplicated gram occurrences by
+    the (keep_first, within_doc) rule, and explode them to the DISTINCT
+    duplicated token positions. Returns (base=(id, _toks),
+    covered=(id, t)). See substring_dedup for the semantics and the
+    scale argument (pure aggregations + one stats join, no pairs)."""
+    k = min_len
+    trimmed = F.trim(F.col(text_col))
+    toks_col = F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+    base = docs.select(F.col(id_col), toks_col.alias("_toks"))
+    gram_arr = F.when(
+        F.size("_toks") >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size("_toks") - k),
+            lambda i: F.md5(F.concat_ws(" ", F.slice("_toks", i + 1, k)).cast("binary")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = base.select(F.col(id_col), F.posexplode(gram_arr).alias("pos", "gh"))
+    stats = grams.groupBy("gh").agg(
+        F.countDistinct(id_col).alias("_df"), F.min(id_col).alias("_first_id")
+    )
+    flagged = grams.join(stats, "gh")
+    if keep_first:
+        dup_cond = F.col(id_col) > F.col("_first_id")
+    else:
+        dup_cond = F.col("_df") >= 2
+    if within_doc:
+        occ = grams.groupBy(id_col, "gh").agg(F.min("pos").alias("_min_pos"))
+        flagged = flagged.join(occ, [id_col, "gh"])
+        dup_cond = dup_cond | (F.col("pos") > F.col("_min_pos"))
+    covered = (
+        flagged.filter(dup_cond)
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("t"),
+        )
+        .distinct()
+    )
+    return base, covered
+
+
 def substring_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -1034,39 +1085,8 @@ def substring_dedup(
     its two consumers rather than materializing a corpus-scale cache
     (same trade as dedup_lines_corpus).
     """
-    k = min_len
-    trimmed = F.trim(F.col(text_col))
-    toks_col = F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
-        F.split(trimmed, r"\s+")
-    )
-    base = docs.select(F.col(id_col), toks_col.alias("_toks"))
-    gram_arr = F.when(
-        F.size("_toks") >= k,
-        F.transform(
-            F.sequence(F.lit(0), F.size("_toks") - k),
-            lambda i: F.md5(F.concat_ws(" ", F.slice("_toks", i + 1, k)).cast("binary")),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = base.select(F.col(id_col), F.posexplode(gram_arr).alias("pos", "gh"))
-    stats = grams.groupBy("gh").agg(
-        F.countDistinct(id_col).alias("_df"), F.min(id_col).alias("_first_id")
-    )
-    flagged = grams.join(stats, "gh")
-    if keep_first:
-        dup_cond = F.col(id_col) > F.col("_first_id")
-    else:
-        dup_cond = F.col("_df") >= 2
-    if within_doc:
-        occ = grams.groupBy(id_col, "gh").agg(F.min("pos").alias("_min_pos"))
-        flagged = flagged.join(occ, [id_col, "gh"])
-        dup_cond = dup_cond | (F.col("pos") > F.col("_min_pos"))
-    covered = (
-        flagged.filter(dup_cond)
-        .select(
-            F.col(id_col),
-            F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("t"),
-        )
-        .distinct()
+    base, covered = _dup_covered_positions(
+        docs, id_col, text_col, min_len, keep_first, within_doc
     )
     tokens = base.select(F.col(id_col), F.posexplode("_toks").alias("t", "tok"))
     rebuilt = (
@@ -1112,4 +1132,80 @@ def substring_dedup(
             F.coalesce("n_dup_spans", F.lit(0).cast("long")).alias("n_dup_spans"),
             F.coalesce("text_clean", F.lit("")).alias("text_clean"),
         )
+    )
+
+
+def dup_span_signals(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 13,
+    keep_first: bool = True,
+    within_doc: bool = False,
+) -> DataFrame:
+    """Duplicate-span QUALITY SIGNALS — substring_dedup's statistics
+    without the text rebuild, as a repetition_signals-style column set a
+    curation pipeline can gate on ("drop docs whose text is mostly
+    spans copied from elsewhere in the corpus"):
+
+      n_dup_spans          maximal duplicated-span count
+      dup_span_token_frac  duplicated tokens / tokens        (4 dp)
+      dup_span_char_frac   chars in duplicated tokens / chars in tokens
+
+    Same rule and same covered-position core as substring_dedup
+    (docstring there for semantics + the scale argument); per-doc token
+    and char totals are computed row-wise over the token array (zero
+    extra shuffle), so the only additions over the core are one join of
+    covered positions against token rows and one per-doc aggregation.
+    """
+    base, covered = _dup_covered_positions(
+        docs, id_col, text_col, min_len, keep_first, within_doc
+    )
+    totals = base.select(
+        F.col(id_col),
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.aggregate(
+            "_toks", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ).alias("_n_chars"),
+    )
+    tok_chars = base.select(
+        F.col(id_col), F.posexplode("_toks").alias("t", "tok")
+    ).withColumn("_len", F.length("tok"))
+    dup_stats = (
+        tok_chars.join(covered, [id_col, "t"])
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_dup_tokens"),
+            F.sum("_len").alias("_dup_chars"),
+            F.sort_array(F.collect_list("t")).alias("_ts"),
+        )
+        .select(
+            F.col(id_col),
+            "n_dup_tokens",
+            "_dup_chars",
+            F.size(
+                F.filter(
+                    F.col("_ts"),
+                    lambda x, i: F.when(i == 0, F.lit(True)).otherwise(
+                        x - F.element_at(F.col("_ts"), i) != 1
+                    ),
+                )
+            ).cast("long").alias("n_dup_spans"),
+        )
+    )
+    return totals.join(dup_stats, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce("n_dup_tokens", F.lit(0).cast("long")).alias("n_dup_tokens"),
+        F.coalesce("n_dup_spans", F.lit(0).cast("long")).alias("n_dup_spans"),
+        F.round(
+            F.coalesce("n_dup_tokens", F.lit(0))
+            / F.greatest(F.col("n_tokens"), F.lit(1)),
+            4,
+        ).alias("dup_span_token_frac"),
+        F.round(
+            F.coalesce("_dup_chars", F.lit(0))
+            / F.greatest(F.col("_n_chars"), F.lit(1)),
+            4,
+        ).alias("dup_span_char_frac"),
     )

@@ -266,7 +266,16 @@ def _py_substring_dedup(docs, k, keep_first=True, within_doc=False):
         cov = sorted(covered[d])
         spans = sum(1 for j, t in enumerate(cov) if j == 0 or cov[j - 1] != t - 1)
         clean = " ".join(tok for t, tok in enumerate(w) if t not in covered[d])
-        out[d] = (len(w), len(cov), spans, clean)
+        n_chars = sum(len(tok) for tok in w)
+        dup_chars = sum(len(w[t]) for t in cov)
+        out[d] = (
+            len(w),
+            len(cov),
+            spans,
+            clean,
+            round(len(cov) / max(len(w), 1), 4),
+            round(dup_chars / max(n_chars, 1), 4),
+        )
     return out
 
 
@@ -290,12 +299,47 @@ def test_substring_dedup_matches_python_reference(
     from nous_spark.operators.dedup import substring_dedup
 
     docs = [(i, " ".join(words)) for i, words in enumerate(corpora)]
-    want = _py_substring_dedup(docs, k, keep_first, within_doc)
+    want = {d: v[:4] for d, v in _py_substring_dedup(docs, k, keep_first, within_doc).items()}
     sdf = spark.createDataFrame(docs, "doc_id long, text string")
     got = {
         r["doc_id"]: (r["n_tokens"], r["n_dup_tokens"], r["n_dup_spans"], r["text_clean"])
         for r in substring_dedup(
             sdf, min_len=k, keep_first=keep_first, within_doc=within_doc
         ).collect()
+    }
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "bb", "ccc"]), max_size=10),
+        min_size=1,
+        max_size=4,
+    ),
+    st.integers(min_value=2, max_value=3),
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_dup_span_signals_matches_python_reference(spark, corpora, k):
+    """dup_span_signals (the gate-able quality columns) == the same
+    pure-Python reference: span counts and token/char fractions, over a
+    vocabulary of unequal word lengths so the two fractions genuinely
+    differ."""
+    from nous_spark.operators.dedup import dup_span_signals
+
+    docs = [(i, " ".join(words)) for i, words in enumerate(corpora)]
+    ref = _py_substring_dedup(docs, k)
+    want = {
+        d: (v[0], v[1], v[2], v[4], v[5]) for d, v in ref.items()
+    }
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["n_dup_tokens"],
+            r["n_dup_spans"],
+            r["dup_span_token_frac"],
+            r["dup_span_char_frac"],
+        )
+        for r in dup_span_signals(sdf, min_len=k).collect()
     }
     assert got == want
