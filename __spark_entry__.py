@@ -2348,7 +2348,8 @@ def oracle_sql() -> dict[str, str]:
                          / length(regexp_split_to_array(trim(text), '\s+')), 4) AS avg_word_len,
                    round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
                          / length(text), 4) AS punct_ratio,
-                   round((length(regexp_split_to_array(' ' || text || ' ', '\s+the\s+')) - 1)
+                   round(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                         x -> x = 'the'))
                          / length(regexp_split_to_array(trim(text), '\s+')), 4) AS stop_the_ratio
             FROM documents
         """,

@@ -75,7 +75,10 @@ def quality_columns(text: Column) -> dict[str, Column]:
     words = token_count_col(text)
     nospace = F.length(F.regexp_replace(text, r"\s", ""))
     punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
-    stop = F.size(F.split(F.concat(F.lit(" "), text, F.lit(" ")), r"\s+the\s+")) - 1
+    # token-equality count, not a split on '\s+the\s+' delimiters: the
+    # split is non-overlapping, so consecutive stopwords ("the the")
+    # counted once — filtering the token array counts every occurrence
+    stop = F.size(F.filter(F.split(F.trim(text), r"\s+"), lambda w: w == "the"))
     return {
         "n_chars_calc": chars,
         "n_words": words,
