@@ -828,6 +828,67 @@ def dedup_corpus(
     return docs.join(doomed, id_col, "left_anti")
 
 
+def dedup_corpus_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    order_col: str,
+    id_col: str = "doc_id",
+    descending: bool = True,
+    n_shards: int = 16,
+) -> DataFrame:
+    """``dedup_corpus`` with a quality-aware survivor: instead of the
+    min-id member, each near-duplicate cluster keeps its best document
+    under (``order_col`` desc-or-asc, ``id_col`` asc tiebreak) — the
+    "keep the longest / highest-quality copy" rule real curation
+    pipelines use (a near-dup cluster typically mixes a full article
+    with truncated or ad-wrapped scrapes; min-id keeps an arbitrary
+    one, this keeps the best one). ``order_col`` is any column of
+    ``docs`` — doc length, text.quality_classifier_score joined on, a
+    fetch-recency rank. Returns the surviving docs with all columns.
+
+    Same transitive clustering as ``dedup_corpus`` (connected
+    components over the verified pair list). The per-cluster pick is
+    curation.top_k_per_group with k=1 — the two-phase md5-sharded
+    argmax, so the boilerplate mega-cluster (every mirror of one
+    license page) never becomes a cluster-sized window partition (the
+    hot-key cap this repo requires of every per-group operator).
+
+    Scale: CC on pairs only; the argmax shuffles only the pair-member
+    rows (cluster members, not the corpus); one corpus-sized anti-join
+    at the end — identical shuffle profile to ``dedup_corpus`` plus a
+    pair-member-sized two-phase pick.
+    """
+    from nous_spark.cc import connected_components
+    from nous_spark.operators.curation import top_k_per_group
+
+    id_type = docs.schema[id_col].dataType
+    numeric = isinstance(
+        id_type, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+    )
+    if numeric:
+        enc = lambda c: F.lpad(c.cast("string"), 20, "0")  # noqa: E731
+    else:
+        enc = lambda c: c.cast("string")  # noqa: E731
+    edges = pairs.select(
+        enc(F.col("id_a")).alias("src"), enc(F.col("id_b")).alias("dst")
+    )
+    comp = connected_components(edges).select(
+        F.col("id").cast(id_type).alias(id_col), "component"
+    )
+    members = comp.join(docs.select(id_col, order_col), id_col)
+    winners = top_k_per_group(
+        members,
+        k=1,
+        group_col="component",
+        order_col=order_col,
+        id_col=id_col,
+        descending=descending,
+        n_shards=n_shards,
+    ).select(id_col)
+    doomed = members.join(winners, id_col, "left_anti").select(id_col)
+    return docs.join(doomed, id_col, "left_anti")
+
+
 # --------------------------------------------------------------------------
 # cross-document line dedup (the C4 preprocessing rule)
 # --------------------------------------------------------------------------

@@ -479,3 +479,92 @@ def pii_scrub(
         cols.append(F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{name}"))
         red = F.regexp_replace(red, pat, token)
     return docs.select(*cols, red.alias("text_redacted"))
+
+
+# --------------------------------------------- hashed-n-gram quality model
+# Demo coefficient table for quality_classifier_score — a stand-in for a
+# trained fastText/CCNet-style linear model (the caller supplies real
+# coefficients in production; this table exists so tests and the DuckDB
+# oracle exercise the full scoring path with nontrivial weights). Values
+# are multiples of 2^-10 in [-0.5, 0.5]: dyadic rationals sum EXACTLY in
+# IEEE doubles regardless of fold order, so the Spark left-fold and the
+# DuckDB list_sum produce bit-identical logits and round(,4) parity can
+# never hinge on summation order. Generated, never hand-edited — the
+# oracle SQL embeds this same table at build time (CLAUDE.md invariant).
+QUALITY_CLF_DIM = 64
+QUALITY_CLF_WEIGHTS: tuple[float, ...] = tuple(
+    round(__import__("math").sin((i + 1) * 2.399) * 512) / 1024
+    for i in range(QUALITY_CLF_DIM)
+)
+QUALITY_CLF_BIAS = -0.25
+
+
+def quality_classifier_score(
+    docs: DataFrame,
+    weights: tuple[float, ...] | None = None,
+    bias: float = QUALITY_CLF_BIAS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+) -> DataFrame:
+    """Linear quality-classifier scoring over hashed uni+bigram features
+    — the CCNet / GPT-3-style "does this page look like quality text"
+    filter (Wenzek et al. 2020; Brown et al. 2020 §A): each document is
+    featurized as word unigrams + adjacent-word bigrams, each term is
+    hashed into one of ``len(weights)`` buckets (the fastText hashing
+    trick — no vocabulary table at all), and
+
+        score = sigmoid(bias + sum_t weights[bucket(t)])
+
+    Returns (id, n_terms, quality_score) with the score rounded to 4
+    decimals. Curation gates on a threshold (or uses the score as a
+    sampling temperature, the GPT-3 Pareto trick) downstream.
+
+    Tokenization matches tfidf_topk_terms/lang_id_col ([a-z+accents]+
+    of the lowered text); the bucket hash is the repo's cross-engine
+    md5 recipe (curation.hash_shard_col), so the generated DuckDB
+    oracle replays the identical featurization. Weights default to the
+    QUALITY_CLF_WEIGHTS demo table; pass trained coefficients (their
+    dyadic-rational rounding is the caller's concern — see the table
+    comment for why exactness matters to oracle parity).
+
+    Scale: a pure per-row Column expression — transform/aggregate
+    higher-order functions over the term array, the weight table inlined
+    as an array literal (bucket lookup is element_at, no join). ZERO
+    exchanges, no Python workers, composes with streaming; the scoring
+    of 100 TB is exactly one codegen'd map over the corpus.
+    """
+    from nous_spark.operators.curation import hash_shard_col
+
+    w = QUALITY_CLF_WEIGHTS if weights is None else weights
+    n_buckets = len(w)
+    toks = F.filter(
+        F.split(
+            F.regexp_replace(F.lower(F.col(text_col)), r"[^a-záàâãéêíóôõúüçñ]+", " "),
+            " ",
+        ),
+        lambda t: t != "",
+    )
+    docs = docs.withColumn("_tk", toks)
+    bigrams = F.when(
+        F.size("_tk") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_tk") - 1),
+            lambda i: F.concat_ws(
+                "_", F.element_at(F.col("_tk"), i), F.element_at(F.col("_tk"), i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    terms = F.concat(F.col("_tk"), bigrams)
+    w_arr = F.array(*[F.lit(float(x)) for x in w])
+    logit = F.aggregate(
+        terms,
+        F.lit(float(bias)),
+        lambda acc, t: acc
+        + F.element_at(w_arr, (hash_shard_col(t, n_buckets, seed) + 1).cast("int")),
+    )
+    return docs.select(
+        F.col(id_col),
+        F.size(terms).alias("n_terms"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 4).alias("quality_score"),
+    )

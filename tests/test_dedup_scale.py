@@ -360,3 +360,54 @@ def test_substring_dedup_hot_gram_is_pure_aggregation(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_dedup_corpus_best_picks_quality_survivor(spark):
+    """dedup_corpus_best keeps the argmax(order_col) member per
+    transitive cluster (id-asc tiebreak), singletons untouched, and the
+    sharded two-phase pick equals the n_shards=1 single-window answer —
+    including on a 300-member mega-cluster (the hot-cluster case the
+    shard cap exists for)."""
+    from nous_spark.operators.dedup import dedup_corpus, dedup_corpus_best
+
+    docs = spark.createDataFrame(
+        [(i, "x" * (100 - i) if i < 8 else "y" * i) for i in range(1, 13)],
+        "doc_id long, text string",
+    ).withColumn("n_chars", F.length("text"))
+    # clusters {1,2,3} (transitive via 1-2, 2-3) and {5,9}; rest singletons
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 9)], "id_a long, id_b long")
+
+    best = sorted(r.doc_id for r in dedup_corpus_best(docs, pairs, "n_chars").collect())
+    assert best == [1, 4, 5, 6, 7, 8, 10, 11, 12]  # longest per cluster
+    # ascending keeps the SHORTEST member instead
+    asc = sorted(
+        r.doc_id
+        for r in dedup_corpus_best(docs, pairs, "n_chars", descending=False).collect()
+    )
+    assert asc == [3, 4, 6, 7, 8, 9, 10, 11, 12]
+    # equal-order ties fall back to min id (2 beats 3; both beat 1)
+    tied = docs.withColumn(
+        "n_chars", F.when(F.col("doc_id").isin(2, 3), 500).otherwise(F.col("n_chars"))
+    )
+    t = sorted(r.doc_id for r in dedup_corpus_best(tied, pairs, "n_chars").collect())
+    assert 2 in t and 3 not in t and 1 not in t
+    # differs from min-id dedup_corpus exactly when the best != min id
+    minid = sorted(r.doc_id for r in dedup_corpus(tied, pairs).collect())
+    assert 1 in minid and 2 not in minid
+
+    # mega-cluster: 300 docs chained pairwise, winner = unique longest;
+    # sharded result == unsharded result
+    mega = spark.createDataFrame(
+        [(i, "z" * (1000 if i == 177 else 10 + i % 7)) for i in range(300)],
+        "doc_id long, text string",
+    ).withColumn("n_chars", F.length("text"))
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(299)], "id_a long, id_b long"
+    )
+    got = [r.doc_id for r in dedup_corpus_best(mega, chain, "n_chars").collect()]
+    assert got == [177]
+    got1 = [
+        r.doc_id
+        for r in dedup_corpus_best(mega, chain, "n_chars", n_shards=1).collect()
+    ]
+    assert got1 == got

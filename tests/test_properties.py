@@ -343,3 +343,50 @@ def test_dup_span_signals_matches_python_reference(spark, corpora, k):
         for r in dup_span_signals(sdf, min_len=k).collect()
     }
     assert got == want
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab é1 .", max_size=40), min_size=1, max_size=6
+    )
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_quality_classifier_matches_python_reference(spark, texts):
+    """quality_classifier_score == a pure-Python reference (hashlib md5
+    bucket, exact dyadic-weight sum, math.exp sigmoid) on arbitrary
+    small texts over an alphabet with digits, punctuation and an
+    accented letter — exercising tokenizer parity, the empty-term-list
+    fold base case, and single-token docs (no bigrams)."""
+    import hashlib
+    import math
+    import re as _re
+
+    from nous_spark.operators.text import (
+        QUALITY_CLF_BIAS,
+        QUALITY_CLF_WEIGHTS,
+        quality_classifier_score,
+    )
+
+    def ref(text):
+        toks = [
+            w
+            for w in _re.sub(r"[^a-záàâãéêíóôõúüçñ]+", " ", text.lower()).split(" ")
+            if w
+        ]
+        terms = toks + [f"{toks[i]}_{toks[i+1]}" for i in range(len(toks) - 1)]
+        z = QUALITY_CLF_BIAS + sum(
+            QUALITY_CLF_WEIGHTS[
+                int(hashlib.md5(f"{t}:42".encode()).hexdigest()[:8], 16)
+                % len(QUALITY_CLF_WEIGHTS)
+            ]
+            for t in terms
+        )
+        return len(terms), round(1.0 / (1.0 + math.exp(-z)), 4)
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_terms"], r["quality_score"])
+        for r in quality_classifier_score(sdf).collect()
+    }
+    assert got == {i: ref(t) for i, t in docs}
