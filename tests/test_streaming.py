@@ -354,3 +354,40 @@ def test_token_budget_mix_streams_with_pinned_totals(spark, tmp_path):
     }
     assert got == want_pinned == want_global
     assert 0 < len(got) < 40  # the budget genuinely subsamples
+
+
+def test_quality_classifier_composes_with_streaming(spark, tmp_path):
+    """quality_classifier_score is a pure per-row Column expression (zero
+    exchanges — see its plan audit), so it must run unchanged on a
+    readStream frame and agree with the batch result: the learned
+    quality filter can score documents at ingest time, before they ever
+    land in the corpus."""
+    from nous_spark.operators.text import quality_classifier_score
+
+    src = str(tmp_path / "docs_src")
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, ""), (3, "lorem ipsum dolor sit amet")],
+        "doc_id long, text string",
+    )
+    docs.coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        quality_classifier_score(stream)
+        .writeStream.format("memory")
+        .queryName("qclf_stream_q")
+        .option("checkpointLocation", str(tmp_path / "cp_qclf"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["n_terms"], r["quality_score"])
+        for r in spark.sql("select * from qclf_stream_q").collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_terms"], r["quality_score"])
+        for r in quality_classifier_score(docs).collect()
+    }
+    assert got == want
