@@ -888,6 +888,18 @@ def _q_doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_classifier_score(_t(spark, sf_dir, "documents"))
 
 
+def _q_doc_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed learned-quality sampling: classifier scores (the
+    generated-oracle featurization) feed the deterministic Pareto keep
+    rule u > 1 - (2 - score)^(-9) — the GPT-3 corpus-selection recipe,
+    end-to-end value-hash-checked."""
+    from nous_spark.operators.curation import quality_weighted_sample
+    from nous_spark.operators.text import quality_classifier_score
+
+    scored = quality_classifier_score(_t(spark, sf_dir, "documents"))
+    return quality_weighted_sample(scored).select("doc_id", "quality_score")
+
+
 def _q_doc_dedup_corpus_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware corpus dedup: same MinHash-verified pair set and
     transitive clusters as doc_dedup_corpus, but each cluster keeps its
@@ -1218,14 +1230,15 @@ def _q_kg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER CONTRACT: the driver's CORRECTNESS artifact evaluates the
-    # FIRST 50 entries only. All 64 oracled entries precede the 2
-    # rows-only ones; overflow slots 51-64 hold oracled queries with no
+    # FIRST 50 entries only. All 65 oracled entries precede the 2
+    # rows-only ones; overflow slots 51-65 hold oracled queries with no
     # unique SURVEY §2 responsibility (ann_cosine_scores — E1 triple-
     # covered in-window — plus the generic TPC-H/left-join set, green in
     # the r1-r3 driver artifacts, plus doc_curation_pipeline and
     # emb_cluster_sample, whose constituent stages all have their own
     # in-window rows, plus the round-5 depth set: doc_dedup_paragraphs,
-    # doc_quality_classifier, doc_dedup_corpus_best), still pytest-gated
+    # doc_quality_classifier, doc_quality_weighted_sample,
+    # doc_dedup_corpus_best), still pytest-gated
     # via test_oracle_parity, which runs ALL entries.
     return {
         "kg_recall_lookup": _q_kg_recall,
@@ -1310,6 +1323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # via doc_quality_filter/doc_token_stats) and the quality-aware
         # cluster-survivor variant of in-window doc_dedup_corpus
         "doc_quality_classifier": _q_doc_quality_classifier,
+        "doc_quality_weighted_sample": _q_doc_quality_weighted_sample,
         "doc_dedup_corpus_best": _q_doc_dedup_corpus_best,
         # rows-only (non-SQL-expressible: xxhash64 sketch, Python query
         # embedder)
@@ -2684,6 +2698,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE doomed.id IS NULL
         """,
         "doc_quality_classifier": _QUALITY_CLF_SQL,
+        # classifier scores -> deterministic Pareto keep rule; the
+        # threshold is rounded to 6 decimals on both engines so a 1-ulp
+        # pow() divergence cannot flip a keep decision
+        "doc_quality_weighted_sample": f"""
+            WITH scored AS ({_QUALITY_CLF_SQL})
+            SELECT doc_id, quality_score FROM scored
+            WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 8))::BIGINT
+                    / 4294967296.0
+                  > round(1.0 - pow(2.0 - quality_score, -9.0), 6)
+        """,
         # word-3-gram Jaccard with the stop-shingle df cap mirrored
         "doc_ngram_jaccard": r"""
             WITH words AS (

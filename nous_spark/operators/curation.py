@@ -68,6 +68,39 @@ def stratified_sample(
     return docs.filter(hash_uniform_col(F.col(id_col), seed) < frac)
 
 
+def quality_weighted_sample(
+    docs: DataFrame,
+    score_col: str = "quality_score",
+    alpha: float = 9.0,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """GPT-3-style Pareto quality sampling (Brown et al. 2020, App. A):
+    keep a document iff a Pareto(alpha) draw exceeds ``1 - score`` — so
+    high-scoring docs are kept almost surely, low-scoring docs survive
+    with small probability (keeping SOME low-quality text avoids the
+    classifier's blind spots becoming the corpus's). The stochastic rule
+    is inverted into a deterministic one: with u the per-row md5 uniform
+    draw, Pareto(alpha) = (1-u)^(-1/alpha) - 1 > 1 - score is exactly
+
+        u > 1 - (2 - score)^(-alpha)
+
+    The threshold is rounded to 6 decimals on BOTH engines so a 1-ulp
+    pow() difference can never flip a keep decision against the oracle
+    (the repo's round-then-compare convention); u itself is an exact
+    multiple of 2^-32. Returns surviving rows unchanged. score_col is
+    any [0,1] quality column — text.quality_classifier_score's output,
+    or a heuristic blend.
+
+    Scale: a stateless per-row filter (zero exchanges), pushed into the
+    scan whenever score_col is a stored column.
+    """
+    threshold = F.round(
+        F.lit(1.0) - F.pow(F.lit(2.0) - F.col(score_col), F.lit(-float(alpha))), 6
+    )
+    return docs.filter(hash_uniform_col(F.col(id_col), seed) > threshold)
+
+
 def hash_shard_col(key: Column, n_shards: int, seed: int = 42) -> Column:
     """Deterministic shard in [0, n_shards): the 32-bit md5 draw of
     ``hash_uniform_col`` taken mod n_shards — same cross-engine recipe

@@ -225,3 +225,32 @@ def test_curation_pipeline_stage_semantics(spark):
     # budget >> corpus -> fractions cap at 1.0, all survivors kept
     assert ids == {1, 3, 4}
     assert all(r["n_tokens"] > 0 and r["seq_id"] >= 0 for r in out)
+
+
+def test_quality_weighted_sample_pareto_rule(spark):
+    """quality_weighted_sample == the Python reference of the inverted
+    GPT-3 Pareto rule (u > 1 - (2-score)^-alpha with the md5 uniform
+    draw), keep rate is monotone in score, and score=1 rows are kept
+    (threshold 0, u > 0 for every realizable draw)."""
+    import hashlib
+
+    from nous_spark.operators.curation import quality_weighted_sample
+
+    rows = [(i, round(0.05 + 0.9 * (i % 20) / 19, 4)) for i in range(400)]
+    docs = spark.createDataFrame(rows, "doc_id long, quality_score double")
+    kept = {r.doc_id for r in quality_weighted_sample(docs, alpha=9.0).collect()}
+
+    def u(i):
+        return int(hashlib.md5(f"{i}:42".encode()).hexdigest()[:8], 16) / 2**32
+
+    want = {
+        i for i, s in rows if u(i) > round(1.0 - (2.0 - s) ** -9.0, 6)
+    }
+    assert kept == want
+    # monotone: the top-score band keeps (weakly) more than the bottom band
+    lo = [i for i, s in rows if s < 0.2]
+    hi = [i for i, s in rows if s > 0.8]
+    assert len(kept & set(hi)) / len(hi) > len(kept & set(lo)) / len(lo)
+    # score=1 -> threshold 0 -> kept for any nonzero draw
+    ones = spark.createDataFrame([(7, 1.0), (8, 1.0)], "doc_id long, quality_score double")
+    assert {r.doc_id for r in quality_weighted_sample(ones).collect()} == {7, 8}
