@@ -568,3 +568,81 @@ def quality_classifier_score(
         F.size(terms).alias("n_terms"),
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 4).alias("quality_score"),
     )
+
+
+def corpus_lm_nll(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-trained character-bigram LM typicality scoring — the
+    language-model-perplexity filter of the CCNet recipe (Wenzek et al.
+    2020 use a KenLM 5-gram; this is the self-contained analog trained
+    on the corpus ITSELF, so a document's score measures how typical
+    its character statistics are of the corpus — boilerplate/garbage/
+    wrong-language outliers score high NLL and can be gated or
+    quantile-bucketed downstream, CCNet's head/middle/tail split).
+
+    Model: text is normalized to the 27-char alphabet [a-z ] (lowered,
+    non-letter runs collapsed to one space — bounds the bigram table at
+    27x27 regardless of corpus size); add-one smoothing
+    P(c2|c1) = (count(c1c2) + 1) / (count(c1.) + V) with V the observed
+    second-char vocabulary. Returns one row per doc:
+    (id, n_bigrams, nll_micro, avg_nll) where nll_micro is the EXACT
+    integer sum of per-bigram round(-ln P * 1e6) micro-nats — integer
+    summation is fold-order-independent, so the Spark partial aggregate
+    and the DuckDB oracle agree exactly (the repo's dyadic-sum trick,
+    integer flavor) — and avg_nll = round(nll_micro/1e6/n_bigrams, 4)
+    (NULL when the doc has no bigrams).
+
+    Scale: one explode -> bigram-count aggregation (<= 729 rows out —
+    map-side combine collapses each task to the table size), a <= 27-row
+    prefix rollup and a 1-row vocabulary count (both broadcast), then
+    the per-doc integer-sum aggregation. The count tables are
+    corpus-size-independent: at 100 TB the only full-data costs are the
+    two corpus scans and the map-side-combinable per-doc sum. No
+    windows, no pairs, no collect.
+    """
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z]+", " ")
+    bigrams = F.when(
+        F.length(norm) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length(norm) - 1),
+            lambda i: F.substring(norm, i, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = docs.select(F.col(id_col), F.explode(bigrams).alias("bg"))
+    cnts = bg.groupBy("bg").agg(F.count("*").alias("cnt"))
+    pref = cnts.groupBy(F.substring("bg", 1, 1).alias("c1")).agg(
+        F.sum("cnt").alias("tot")
+    )
+    vsz = cnts.agg(F.countDistinct(F.substring("bg", 2, 1)).alias("vsz"))
+    scored = (
+        bg.join(F.broadcast(cnts), "bg")
+        .join(F.broadcast(pref), F.substring("bg", 1, 1) == F.col("c1"))
+        .crossJoin(F.broadcast(vsz))
+        .withColumn(
+            "m",
+            F.round(
+                -F.log((F.col("cnt") + 1) / (F.col("tot") + F.col("vsz"))) * 1e6
+            ).cast("long"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"), F.sum("m").alias("nll_micro")
+    )
+    return (
+        docs.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("nll_micro", F.lit(0)).alias("nll_micro"),
+            F.when(
+                F.col("n_bigrams").isNotNull(),
+                F.round(
+                    F.col("nll_micro") / F.lit(1000000.0) / F.col("n_bigrams"), 4
+                ),
+            ).alias("avg_nll"),
+        )
+    )

@@ -390,3 +390,50 @@ def test_quality_classifier_matches_python_reference(spark, texts):
         for r in quality_classifier_score(sdf).collect()
     }
     assert got == {i: ref(t) for i, t in docs}
+
+
+@given(
+    st.lists(st.text(alphabet="abz .7", max_size=30), min_size=1, max_size=6)
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_corpus_lm_nll_matches_python_reference(spark, texts):
+    """corpus_lm_nll == a pure-Python char-bigram LM reference (Counter
+    counts, math.log, integer micro-nat rounding) on arbitrary small
+    corpora — exercising the normalization collapse, zero-bigram docs
+    (empty/1-char/no-letter texts), and the corpus-wide smoothing
+    denominator that couples every doc's score to every other doc."""
+    import math
+    import re as _re
+    from collections import Counter
+
+    from nous_spark.operators.text import corpus_lm_nll
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+
+    def norm(t):
+        return _re.sub(r"[^a-z]+", " ", t.lower())
+
+    bgs = {i: [norm(t)[j : j + 2] for j in range(len(norm(t)) - 1)] for i, t in rows}
+    cnt = Counter(b for lst in bgs.values() for b in lst)
+    pref = Counter()
+    for b, c in cnt.items():
+        pref[b[0]] += c
+    vsz = len({b[1] for b in cnt})
+    want = {}
+    for i, _ in rows:
+        lst = bgs[i]
+        if not lst:
+            want[i] = (0, 0, None)
+        else:
+            s = sum(
+                round(-math.log((cnt[b] + 1) / float(pref[b[0]] + vsz)) * 1e6)
+                for b in lst
+            )
+            want[i] = (len(lst), s, round(s / 1e6 / len(lst), 4))
+
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["nll_micro"], r["avg_nll"])
+        for r in corpus_lm_nll(sdf).collect()
+    }
+    assert got == want
