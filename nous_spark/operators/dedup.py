@@ -785,6 +785,38 @@ def ngram_jaccard_pairs(
 # --------------------------------------------------------------------------
 # corpus-level dedup: pairs -> clusters -> canonical survivors
 # --------------------------------------------------------------------------
+def _pair_components(
+    docs: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """Transitive clusters over a near-dup pair list: connected
+    components (nous_spark.cc — size-adaptive driver union-find below
+    2M edges, large-star/small-star loop above), ids decoded back to
+    ``docs``' id type. cc elects the MIN-STRING id per component, so
+    numeric ids are zero-padded before clustering (string order ==
+    numeric order; "10" < "9" otherwise) and the canonical member
+    matches the numeric min the oracles compute. (Assumes non-negative
+    ids, which doc ids are.) Returns (id_col, component), both in the
+    original id type; a member is canonical iff id == component."""
+    from nous_spark.cc import connected_components
+
+    id_type = docs.schema[id_col].dataType
+    numeric = isinstance(
+        id_type, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+    )
+    if numeric:
+        enc = lambda c: F.lpad(c.cast("string"), 20, "0")  # noqa: E731
+    else:
+        enc = lambda c: c.cast("string")  # noqa: E731
+    edges = pairs.select(
+        enc(F.col("id_a")).alias("src"), enc(F.col("id_b")).alias("dst")
+    )
+    comp = connected_components(edges)
+    return comp.select(
+        F.col("id").cast(id_type).alias(id_col),
+        F.col("component").cast(id_type).alias("component"),
+    )
+
+
 def dedup_corpus(
     docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -804,27 +836,8 @@ def dedup_corpus(
     than the corpus; CC runs on pairs only, and the final anti-join is
     the single corpus-sized shuffle.
     """
-    from nous_spark.cc import connected_components
-
-    id_type = docs.schema[id_col].dataType
-    numeric = isinstance(
-        id_type, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
-    )
-    # cc elects the MIN-STRING id per component; zero-pad numeric ids so
-    # string order == numeric order ("10" < "9" otherwise) and the
-    # canonical pick matches the numeric-min the oracle computes.
-    # (Assumes non-negative ids, which doc ids are.)
-    if numeric:
-        enc = lambda c: F.lpad(c.cast("string"), 20, "0")  # noqa: E731
-    else:
-        enc = lambda c: c.cast("string")  # noqa: E731
-    edges = pairs.select(
-        enc(F.col("id_a")).alias("src"), enc(F.col("id_b")).alias("dst")
-    )
-    comp = connected_components(edges)
-    doomed = comp.filter(F.col("id") != F.col("component")).select(
-        F.col("id").cast(id_type).alias(id_col)
-    )
+    comp = _pair_components(docs, pairs, id_col)
+    doomed = comp.filter(F.col(id_col) != F.col("component")).select(id_col)
     return docs.join(doomed, id_col, "left_anti")
 
 
@@ -853,29 +866,20 @@ def dedup_corpus_best(
     license page) never becomes a cluster-sized window partition (the
     hot-key cap this repo requires of every per-group operator).
 
-    Scale: CC on pairs only; the argmax shuffles only the pair-member
-    rows (cluster members, not the corpus); one corpus-sized anti-join
-    at the end — identical shuffle profile to ``dedup_corpus`` plus a
-    pair-member-sized two-phase pick.
+    Scale: CC on pairs only; ``members`` (pair-member scale) is eagerly
+    localCheckpointed because BOTH the argmax and the doomed anti-join
+    consume it — without that, Spark recomputes the docs-side join per
+    consumer (no exchange reuse, measured); the argmax then shuffles
+    only member rows, and the single corpus-sized operation is the
+    final anti-join — dedup_corpus's shuffle profile plus the
+    member-sized two-phase pick. Eager, like the sketch operators.
     """
-    from nous_spark.cc import connected_components
     from nous_spark.operators.curation import top_k_per_group
 
-    id_type = docs.schema[id_col].dataType
-    numeric = isinstance(
-        id_type, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+    comp = _pair_components(docs, pairs, id_col)
+    members = comp.join(docs.select(id_col, order_col), id_col).localCheckpoint(
+        eager=True
     )
-    if numeric:
-        enc = lambda c: F.lpad(c.cast("string"), 20, "0")  # noqa: E731
-    else:
-        enc = lambda c: c.cast("string")  # noqa: E731
-    edges = pairs.select(
-        enc(F.col("id_a")).alias("src"), enc(F.col("id_b")).alias("dst")
-    )
-    comp = connected_components(edges).select(
-        F.col("id").cast(id_type).alias(id_col), "component"
-    )
-    members = comp.join(docs.select(id_col, order_col), id_col)
     winners = top_k_per_group(
         members,
         k=1,

@@ -10,6 +10,7 @@ Design split:
 
 from __future__ import annotations
 
+import math
 import re
 import zlib
 from collections.abc import Iterator
@@ -169,16 +170,25 @@ def lang_id_udf(text: pd.Series) -> pd.Series:
     return text.map(lang_id_text)
 
 
+def word_tokens_col(text: Column) -> Column:
+    """THE word tokenizer of this module ([a-z+accents]+ runs of the
+    lowered text): lang_id_col, tfidf_topk_terms and
+    quality_classifier_score all featurize through this one expression,
+    so their tokenizations cannot drift from each other — or from the
+    generated DuckDB oracles, which replay the same regex."""
+    return F.filter(
+        F.split(F.regexp_replace(F.lower(text), r"[^a-záàâãéêíóôõúüçñ]+", " "), " "),
+        lambda w: w != "",
+    )
+
+
 def lang_id_col(text: Column) -> Column:
     """JVM-side language ID — same stopword-overlap metric as
     lang_id_text, as pure Column expressions (no Python workers):
     score(lang) = (# word occurrences in lang's stopword set) / #words,
     argmax over langs, 'und' below the 0.02 floor. Word extraction uses
     the same [a-z+accents]+ tokenization as the Python form."""
-    words = F.filter(
-        F.split(F.regexp_replace(F.lower(text), r"[^a-záàâãéêíóôõúüçñ]+", " "), " "),
-        lambda w: w != "",
-    )
+    words = word_tokens_col(text)
     n_words = F.size(words)
     cands = []
     for lang in sorted(_LANG_STOPWORDS):
@@ -395,10 +405,7 @@ def tfidf_topk_terms(
     """
     from pyspark.sql import Window
 
-    words = F.filter(
-        F.split(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-záàâãéêíóôõúüçñ]+", " "), " "),
-        lambda w: w != "",
-    )
+    words = word_tokens_col(F.col(text_col))
     toks = docs.select(F.col(id_col), F.explode(words).alias("term"))
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf_cnt"))
     doc_len = toks.groupBy(id_col).agg(F.count("*").alias("n_words"))
@@ -493,8 +500,7 @@ def pii_scrub(
 # oracle SQL embeds this same table at build time (CLAUDE.md invariant).
 QUALITY_CLF_DIM = 64
 QUALITY_CLF_WEIGHTS: tuple[float, ...] = tuple(
-    round(__import__("math").sin((i + 1) * 2.399) * 512) / 1024
-    for i in range(QUALITY_CLF_DIM)
+    round(math.sin((i + 1) * 2.399) * 512) / 1024 for i in range(QUALITY_CLF_DIM)
 )
 QUALITY_CLF_BIAS = -0.25
 
@@ -538,13 +544,9 @@ def quality_classifier_score(
 
     w = QUALITY_CLF_WEIGHTS if weights is None else weights
     n_buckets = len(w)
-    toks = F.filter(
-        F.split(
-            F.regexp_replace(F.lower(F.col(text_col)), r"[^a-záàâãéêíóôõúüçñ]+", " "),
-            " ",
-        ),
-        lambda t: t != "",
-    )
+    # NULL text scores as empty (n_terms 0, sigmoid(bias)) — matching
+    # the DuckDB oracle's NULL-list coalescing, not Spark's size()=-1
+    toks = word_tokens_col(F.coalesce(F.col(text_col), F.lit("")))
     docs = docs.withColumn("_tk", toks)
     bigrams = F.when(
         F.size("_tk") >= 2,
@@ -596,12 +598,17 @@ def corpus_lm_nll(
     (NULL when the doc has no bigrams).
 
     Scale: one explode -> bigram-count aggregation (<= 729 rows out —
-    map-side combine collapses each task to the table size), a <= 27-row
-    prefix rollup and a 1-row vocabulary count (both broadcast), then
-    the per-doc integer-sum aggregation. The count tables are
-    corpus-size-independent: at 100 TB the only full-data costs are the
-    two corpus scans and the map-side-combinable per-doc sum. No
-    windows, no pairs, no collect.
+    map-side combine collapses each task to the table size), eagerly
+    localCheckpointed so the <= 27-row prefix rollup and 1-row
+    vocabulary count derive from the tiny table instead of re-scanning
+    the corpus (Spark does NOT reuse the exchange across the three
+    consumers otherwise — measured); all three broadcast into the
+    scoring pass. The count tables are corpus-size-independent: at
+    100 TB the full-data costs are two full-text scans (counts build,
+    scoring) plus a column-pruned id-only scan for the zero-bigram left
+    join, and the map-side-combinable per-doc sum. No windows, no
+    pairs, no collect. Eager (the checkpoint), like the dedup sketch
+    operators.
     """
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z]+", " ")
     bigrams = F.when(
@@ -612,7 +619,9 @@ def corpus_lm_nll(
         ),
     ).otherwise(F.array().cast("array<string>"))
     bg = docs.select(F.col(id_col), F.explode(bigrams).alias("bg"))
-    cnts = bg.groupBy("bg").agg(F.count("*").alias("cnt"))
+    cnts = (
+        bg.groupBy("bg").agg(F.count("*").alias("cnt")).localCheckpoint(eager=True)
+    )
     pref = cnts.groupBy(F.substring("bg", 1, 1).alias("c1")).agg(
         F.sum("cnt").alias("tot")
     )
