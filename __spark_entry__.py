@@ -1293,7 +1293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id_confusion": _q_lang_id,
         "doc_bpe_tokens": _q_doc_bpe_tokens,
         "doc_fingerprints": _q_doc_fingerprints,
-        "ann_batch_topk": _q_ann_batch_topk,
+        "doc_quality_classifier": _q_doc_quality_classifier,
         "kg_embeddings_build": _q_kg_embeddings,
         "doc_canonical_urls": _q_doc_canonical_urls,
         "kg_rag_recall_stored": _q_kg_rag_recall_stored,
@@ -1328,11 +1328,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # span-dedup duty is in-window via doc_dedup_lines AND
         # doc_substring_dedup
         "doc_dedup_paragraphs": _q_doc_dedup_paragraphs,
-        # round-5 depth additions, oracled overflow: the hashed-n-gram
-        # learned quality filter (its quality-column §2 duty is in-window
-        # via doc_quality_filter/doc_token_stats) and the quality-aware
-        # cluster-survivor variant of in-window doc_dedup_corpus
-        "doc_quality_classifier": _q_doc_quality_classifier,
+        # round-5 depth additions, oracled overflow (the learned quality
+        # CLASSIFIER took ann_batch_topk's window slot — E1/E4 stay
+        # covered in-window by ann_lsh_topk/ann_ivf_topk/
+        # kg_rag_recall_stored; batch top-k remains bench-timed and
+        # parity-gated here): the Pareto sampler and LM composing the
+        # classifier, and the quality-aware cluster-survivor variant of
+        # in-window doc_dedup_corpus
+        "ann_batch_topk": _q_ann_batch_topk,
         "doc_quality_weighted_sample": _q_doc_quality_weighted_sample,
         "doc_corpus_lm_nll": _q_doc_corpus_lm_nll,
         "doc_dedup_corpus_best": _q_doc_dedup_corpus_best,
