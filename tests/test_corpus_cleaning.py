@@ -319,3 +319,35 @@ def test_dedup_paragraphs_granularity(spark):
     # separately — both shared, both dropped from doc 2
     lines = _by_id(dedup_lines_corpus(docs, min_df=2, granularity="line").collect())
     assert lines[2]["n_dropped"] == 2
+
+
+def test_corpus_lm_nll_separates_garbage_from_typical(spark):
+    """The corpus-trained char-bigram LM must rank a gibberish outlier
+    above every typical-English doc on avg NLL (the CCNet tail), rank a
+    repeated common phrase lowest (the head), and give zero-bigram docs
+    (empty / all-punctuation) the (0, 0, NULL) sentinel."""
+    from nous_spark.operators.text import corpus_lm_nll
+
+    typical = [
+        "the quick brown fox jumps over the lazy dog",
+        "a dog and a fox ran over the hill to the river",
+        "the lazy dog sleeps near the quiet river bank",
+        "the fox and the dog played over the green hill",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(typical)]
+        + [(90, "the the the the the the the the")]
+        + [(91, "xqzj vwkp qjxz wvpk zjxq kpvw")]
+        + [(92, ""), (93, "!!! ???")],
+        DOC_SCHEMA,
+    )
+    out = {r["doc_id"]: r for r in corpus_lm_nll(docs).collect()}
+    garbage, head = out[91]["avg_nll"], out[90]["avg_nll"]
+    for i in range(len(typical)):
+        assert garbage > out[i]["avg_nll"] > head
+    for i in (92, 93):
+        assert (out[i]["n_bigrams"], out[i]["nll_micro"], out[i]["avg_nll"]) == (
+            0,
+            0,
+            None,
+        )
