@@ -391,3 +391,38 @@ def test_quality_classifier_composes_with_streaming(spark, tmp_path):
         for r in quality_classifier_score(docs).collect()
     }
     assert got == want
+
+
+def test_quality_pipeline_filters_at_ingest(spark, tmp_path):
+    """classifier -> Pareto sampler composes as ONE stateless map over a
+    readStream frame (score + keep decision at ingest time, before the
+    corpus ever lands) and selects exactly the batch path's survivors."""
+    from nous_spark.operators.curation import quality_weighted_sample
+    from nous_spark.operators.text import quality_classifier_score
+
+    src = str(tmp_path / "docs_src")
+    docs = spark.createDataFrame(
+        [(i, f"sample text number {i} with some shared words") for i in range(40)],
+        "doc_id long, text string",
+    )
+    docs.coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        quality_weighted_sample(quality_classifier_score(stream))
+        .writeStream.format("memory")
+        .queryName("qpipe_stream_q")
+        .option("checkpointLocation", str(tmp_path / "cp_qpipe"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"] for r in spark.sql("select doc_id from qpipe_stream_q").collect()
+    }
+    want = {
+        r["doc_id"]
+        for r in quality_weighted_sample(quality_classifier_score(docs)).collect()
+    }
+    assert got == want and 0 < len(want) < 40
