@@ -910,6 +910,19 @@ def _q_doc_corpus_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_lm_nll(_t(spark, sf_dir, "documents"))
 
 
+def _q_doc_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot incremental ingest: docs with doc_id % 3 == 0 play
+    the previously-accepted corpus (its seen-hash table), the rest are
+    the incoming crawl batch — dedup within the batch (min-id per
+    md5(text)) then against the seen hashes."""
+    from nous_spark.operators.dedup import dedup_incremental, text_hashes
+
+    docs = _t(spark, sf_dir, "documents")
+    seen = text_hashes(docs.filter(F.col("doc_id") % 3 == 0))
+    batch = docs.filter(F.col("doc_id") % 3 != 0)
+    return dedup_incremental(batch, seen).select("doc_id")
+
+
 def _q_doc_dedup_corpus_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware corpus dedup: same MinHash-verified pair set and
     transitive clusters as doc_dedup_corpus, but each cluster keeps its
@@ -1240,15 +1253,16 @@ def _q_kg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER CONTRACT: the driver's CORRECTNESS artifact evaluates the
-    # FIRST 50 entries only. All 66 oracled entries precede the 2
-    # rows-only ones; overflow slots 51-66 hold oracled queries with no
+    # FIRST 50 entries only. All 67 oracled entries precede the 2
+    # rows-only ones; overflow slots 51-67 hold oracled queries with no
     # unique SURVEY §2 responsibility (ann_cosine_scores — E1 triple-
     # covered in-window — plus the generic TPC-H/left-join set, green in
     # the r1-r3 driver artifacts, plus doc_curation_pipeline and
     # emb_cluster_sample, whose constituent stages all have their own
     # in-window rows, plus the round-5 depth set: doc_dedup_paragraphs,
     # doc_quality_classifier, doc_quality_weighted_sample,
-    # doc_corpus_lm_nll, doc_dedup_corpus_best), still pytest-gated
+    # doc_corpus_lm_nll, doc_dedup_corpus_best, doc_dedup_incremental),
+    # still pytest-gated
     # via test_oracle_parity, which runs ALL entries.
     return {
         "kg_recall_lookup": _q_kg_recall,
@@ -1339,6 +1353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_weighted_sample": _q_doc_quality_weighted_sample,
         "doc_corpus_lm_nll": _q_doc_corpus_lm_nll,
         "doc_dedup_corpus_best": _q_doc_dedup_corpus_best,
+        "doc_dedup_incremental": _q_doc_dedup_incremental,
         # rows-only (non-SQL-expressible: xxhash64 sketch, Python query
         # embedder)
         "doc_simhash_near_dups": _q_simhash_near_dups,
@@ -2712,6 +2727,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE doomed.id IS NULL
         """,
         "doc_quality_classifier": _QUALITY_CLF_SQL,
+        # incremental ingest: previous snapshot = doc_id % 3 == 0
+        "doc_dedup_incremental": """
+            WITH seen AS (
+              SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 3 = 0
+            ),
+            reps AS (
+              SELECT md5(text) AS h, min(doc_id) AS doc_id
+              FROM documents WHERE doc_id % 3 <> 0 GROUP BY 1
+            )
+            SELECT r.doc_id FROM reps r
+            LEFT JOIN seen s ON s.h = r.h
+            WHERE s.h IS NULL
+        """,
         # corpus-trained char-bigram LM, add-one smoothing; per-bigram
         # micro-nats round(-ln P * 1e6) summed as BIGINTs (fold-order
         # exact); division order in avg_nll matches the Column form

@@ -67,6 +67,45 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def text_hashes(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The (text_md5) seen-hash table an incremental ingest maintains:
+    one distinct md5 per unique text. Append each accepted batch's
+    hashes (via io.idempotent_write keyed on text_md5) and feed the
+    accumulated table to ``dedup_incremental`` on the next crawl."""
+    return docs.select(F.md5(F.col(text_col)).alias("text_md5")).distinct()
+
+
+def dedup_incremental(
+    new_docs: DataFrame,
+    seen_hashes: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-snapshot exact dedup — the continuous-crawl ingest rule:
+    each incoming batch is deduplicated (1) WITHIN itself (min-id
+    representative per md5(text), same identity rule as exact_dedup)
+    and (2) AGAINST the accumulated seen-hash table of every previously
+    accepted snapshot, so re-crawled pages never re-enter the corpus.
+    Returns the surviving new rows with all their columns;
+    ``text_hashes`` of the survivors is what the caller appends to the
+    seen table.
+
+    Scale: the batch collapses through one map-side-combinable hash
+    aggregation (16-byte keys); the anti-join against the seen table
+    and the final semi-join are both md5-keyed equi-joins AQE can
+    broadcast when the batch (or its rep set) is small relative to the
+    corpus — no windows, no pairs, nothing corpus-squared. Deterministic
+    (min-id reps), so a killed-and-resumed ingest picks identical
+    survivors and the exactly-once sink discipline holds.
+    """
+    hashed = new_docs.withColumn("_h", F.md5(F.col(text_col)))
+    reps = hashed.groupBy("_h").agg(F.min(id_col).alias(id_col))
+    fresh = reps.join(
+        seen_hashes.select(F.col("text_md5").alias("_h")), "_h", "left_anti"
+    ).select(id_col)
+    return new_docs.join(fresh, id_col, "left_semi")
+
+
 def minhash_signatures_jvm(
     docs: DataFrame,
     id_col: str = "doc_id",

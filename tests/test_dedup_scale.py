@@ -411,3 +411,36 @@ def test_dedup_corpus_best_picks_quality_survivor(spark):
         for r in dedup_corpus_best(mega, chain, "n_chars", n_shards=1).collect()
     ]
     assert got1 == got
+
+
+def test_dedup_incremental_within_and_cross_snapshot(spark):
+    """dedup_incremental drops in-batch duplicates to the min-id rep AND
+    every doc whose exact text already exists in the seen-hash table,
+    keeping unseen singletons untouched with all columns."""
+    from nous_spark.operators.dedup import dedup_incremental, text_hashes
+
+    prev = spark.createDataFrame(
+        [(100, "already ingested page"), (101, "another old page")],
+        "doc_id long, text string",
+    )
+    seen = text_hashes(prev)
+    batch = spark.createDataFrame(
+        [
+            (1, "brand new page"),
+            (2, "already ingested page"),   # seen in snapshot -> dropped
+            (3, "repeated in batch"),
+            (4, "repeated in batch"),       # in-batch dup -> min-id rep only
+            (5, "another new page"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.text for r in dedup_incremental(batch, seen).collect()}
+    assert out == {
+        1: "brand new page",
+        3: "repeated in batch",
+        5: "another new page",
+    }
+    # idempotent re-ingest: after appending the survivors' hashes, the
+    # same batch yields nothing new
+    seen2 = seen.union(text_hashes(dedup_incremental(batch, seen)))
+    assert dedup_incremental(batch, seen2).count() == 0
