@@ -39,6 +39,7 @@ from nous_spark.operators.text import (
     bpe_ish_token_count_col,
     canonical_url_udf,
     fingerprint_col,
+    gopher_rules_oracle_sql as _gopher_rules_oracle_sql,
     lang_id_col,
     quality_columns,
     quality_score_cols,
@@ -436,6 +437,17 @@ def _q_doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", qs["quality_score"].alias("quality_score"), qs["keep"].alias("keep")
     )
+
+
+def _q_doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality gate (Rae et al. 2021 App. A1.1):
+    per-doc signal columns + ANDed keep flag, paper thresholds except
+    min_stop_words=1 (the synthetic vocabulary carries a single stop
+    word — 'the' — so the paper's >=2-distinct rule would be all-false
+    here; the oracle is generated with the same override)."""
+    from nous_spark.operators.text import gopher_rules
+
+    return gopher_rules(_t(spark, sf_dir, "documents"), min_stop_words=1)
 
 
 def _q_doc_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1253,15 +1265,17 @@ def _q_kg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER CONTRACT: the driver's CORRECTNESS artifact evaluates the
-    # FIRST 50 entries only. All 67 oracled entries precede the 2
-    # rows-only ones; overflow slots 51-67 hold oracled queries with no
+    # FIRST 50 entries only. All 68 oracled entries precede the 2
+    # rows-only ones; overflow slots 51-68 hold oracled queries with no
     # unique SURVEY §2 responsibility (ann_cosine_scores — E1 triple-
     # covered in-window — plus the generic TPC-H/left-join set, green in
     # the r1-r3 driver artifacts, plus doc_curation_pipeline and
     # emb_cluster_sample, whose constituent stages all have their own
     # in-window rows, plus the round-5 depth set: doc_dedup_paragraphs,
     # doc_quality_classifier, doc_quality_weighted_sample,
-    # doc_corpus_lm_nll, doc_dedup_corpus_best, doc_dedup_incremental),
+    # doc_corpus_lm_nll, doc_dedup_corpus_best, doc_dedup_incremental,
+    # doc_gopher_rules — a rule-composite over signals whose in-window
+    # duties doc_quality_filter/doc_repetition_signals already carry),
     # still pytest-gated
     # via test_oracle_parity, which runs ALL entries.
     return {
@@ -1354,6 +1368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_corpus_lm_nll": _q_doc_corpus_lm_nll,
         "doc_dedup_corpus_best": _q_doc_dedup_corpus_best,
         "doc_dedup_incremental": _q_doc_dedup_incremental,
+        "doc_gopher_rules": _q_doc_gopher_rules,
         # rows-only (non-SQL-expressible: xxhash64 sketch, Python query
         # embedder)
         "doc_simhash_near_dups": _q_simhash_near_dups,
@@ -2256,6 +2271,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE rank <= 5
         """,
         "doc_pii_scrub": _build_pii_scrub_sql(),
+        "doc_gopher_rules": _gopher_rules_oracle_sql(min_stop_words=1),
         "doc_token_budget_mix": _build_token_budget_mix_sql(),
         "doc_curation_pipeline": _build_curation_pipeline_sql(),
         "emb_cluster_sample": _EMB_CLUSTER_SAMPLE_SQL,

@@ -379,6 +379,182 @@ def repetition_signals(
     )
 
 
+# ------------------------------------------------------------ gopher rules
+# The Gopher rule-based quality filter (Rae et al. 2021, "Scaling
+# Language Models: Methods, Analysis & Insights from Training Gopher",
+# Appendix A.1.1) — the standard pre-tokenization heuristic gate a web
+# corpus passes BEFORE the learned classifier. Shared constants: the
+# oracle SQL is GENERATED from these (the pricing/stopword-table
+# discipline) — edit the table, never the SQL.
+GOPHER_STOP_WORDS = ("and", "be", "have", "that", "the", "to", "of", "with")
+GOPHER_DEFAULTS = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_symbol_word_ratio": 0.1,
+    "max_bullet_line_frac": 0.9,
+    "max_ellipsis_line_frac": 0.3,
+    "min_alpha_word_frac": 0.8,
+    "min_stop_words": 2,
+}
+_BULLET_RE = r"^[-*•‣▪]"  # -, *, •, ‣, ▪ at trimmed-line start
+_ELLIPSIS_RE = r"(\.\.\.|…)$"
+
+
+def gopher_rules(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **thresholds: float,
+) -> DataFrame:
+    """Gopher rule-based quality filter (Rae et al. 2021 App. A1.1):
+    per-doc signal columns plus a ``keep`` flag that ANDs the rules —
+
+      n_words            in [min_words, max_words]
+      mean_word_len      in [min_mean_word_len, max_mean_word_len]
+      symbol_word_ratio  (# of '#', '…' and literal '...' / words)
+                         <= max_symbol_word_ratio
+      bullet_line_frac   (lines starting with a bullet mark)
+                         <= max_bullet_line_frac
+      ellipsis_line_frac (lines ending '…'/'...')
+                         <= max_ellipsis_line_frac
+      alpha_word_frac    (whitespace tokens containing [A-Za-z])
+                         >= min_alpha_word_frac
+      n_stop_words       (DISTINCT ``GOPHER_STOP_WORDS`` present as
+                         ``word_tokens_col`` tokens) >= min_stop_words
+
+    Identity rules shared with the rest of the module: lines are
+    ``lines_arr_col`` (the C4-dedup line rule), stop matching uses
+    ``word_tokens_col`` (the lang-ID/classifier tokenizer), word count
+    is ``token_count_col``. NULL text is coalesced to '' (one empty
+    whitespace token — the established quality_filter convention), and
+    every decision compares the ROUND(_, 4) value so Spark and the
+    generated DuckDB oracle gate on identical numbers.
+
+    Thresholds default to the paper's values; pass keyword overrides
+    (e.g. ``min_stop_words=1`` on a synthetic corpus whose vocabulary
+    carries a single stop word). Unknown keys raise.
+
+    Scale: a stateless single-pass Column projection — zero exchanges,
+    zero Python workers, whole-stage codegen end to end; filters on
+    ``keep`` push down to the scan. Reference has no analog (builder
+    brief: pretraining-curation extension, like pii_scrub text.py:435).
+    """
+    unknown = set(thresholds) - set(GOPHER_DEFAULTS)
+    if unknown:
+        raise ValueError(f"unknown gopher thresholds: {sorted(unknown)}")
+    th = {**GOPHER_DEFAULTS, **thresholds}
+
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.split(F.trim(text), r"\s+")
+    n_words = F.size(words)
+    mean_word_len = F.round(
+        F.length(F.regexp_replace(text, r"\s", "")) / n_words, 4
+    )
+    n_symbols = (
+        (F.length(text) - F.length(F.replace(text, F.lit("#"))))
+        + (F.length(text) - F.length(F.replace(text, F.lit("…"))))
+        + (F.length(text) - F.length(F.replace(text, F.lit("...")))) / 3
+    )
+    symbol_word_ratio = F.round(n_symbols / n_words, 4)
+    lines = lines_arr_col(text)
+    n_lines = F.size(lines)
+    bullet_line_frac = F.when(n_lines > 0, F.round(
+        F.size(F.filter(lines, lambda ln: ln.rlike(_BULLET_RE))) / n_lines, 4
+    )).otherwise(F.lit(0.0))
+    ellipsis_line_frac = F.when(n_lines > 0, F.round(
+        F.size(F.filter(lines, lambda ln: ln.rlike(_ELLIPSIS_RE))) / n_lines, 4
+    )).otherwise(F.lit(0.0))
+    alpha_word_frac = F.round(
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / n_words, 4
+    )
+    stops = F.array(*[F.lit(s) for s in GOPHER_STOP_WORDS])
+    n_stop_words = F.size(F.array_intersect(word_tokens_col(text), stops))
+
+    out = docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_word_ratio.alias("symbol_word_ratio"),
+        bullet_line_frac.alias("bullet_line_frac"),
+        ellipsis_line_frac.alias("ellipsis_line_frac"),
+        alpha_word_frac.alias("alpha_word_frac"),
+        n_stop_words.alias("n_stop_words"),
+    )
+    keep = (
+        (F.col("n_words") >= th["min_words"])
+        & (F.col("n_words") <= th["max_words"])
+        & (F.col("mean_word_len") >= th["min_mean_word_len"])
+        & (F.col("mean_word_len") <= th["max_mean_word_len"])
+        & (F.col("symbol_word_ratio") <= th["max_symbol_word_ratio"])
+        & (F.col("bullet_line_frac") <= th["max_bullet_line_frac"])
+        & (F.col("ellipsis_line_frac") <= th["max_ellipsis_line_frac"])
+        & (F.col("alpha_word_frac") >= th["min_alpha_word_frac"])
+        & (F.col("n_stop_words") >= th["min_stop_words"])
+    )
+    return out.withColumn("keep", keep)
+
+
+def gopher_rules_oracle_sql(**thresholds: float) -> str:
+    """The DuckDB mirror of ``gopher_rules``, GENERATED from the same
+    ``GOPHER_DEFAULTS``/``GOPHER_STOP_WORDS`` tables and threshold
+    overrides the Spark query uses — the two engines cannot drift."""
+    unknown = set(thresholds) - set(GOPHER_DEFAULTS)
+    if unknown:
+        raise ValueError(f"unknown gopher thresholds: {sorted(unknown)}")
+    th = {**GOPHER_DEFAULTS, **thresholds}
+    stops = ", ".join(f"'{s}'" for s in GOPHER_STOP_WORDS)
+    return f"""
+        WITH base AS (
+          SELECT doc_id, coalesce(text, '') AS text FROM documents
+        ), feat AS (
+          SELECT doc_id,
+            length(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+            round(length(regexp_replace(text, '\\s', '', 'g'))
+                  / length(regexp_split_to_array(trim(text), '\\s+')), 4)
+              AS mean_word_len,
+            (length(text) - length(replace(text, '#', '')))
+              + (length(text) - length(replace(text, chr(8230), '')))
+              + (length(text) - length(replace(text, '...', ''))) / 3
+              AS n_symbols,
+            list_filter(list_transform(string_split(text, chr(10)),
+                                       l -> trim(l)), l -> l != '') AS lines,
+            regexp_split_to_array(trim(text), '\\s+') AS ws,
+            list_filter(string_split(regexp_replace(lower(text),
+              '[^a-záàâãéêíóôõúüçñ]+', ' ', 'g'), ' '), w -> w != '') AS toks
+          FROM base
+        ), sig AS (
+          SELECT doc_id, n_words, mean_word_len,
+            round(n_symbols / n_words, 4) AS symbol_word_ratio,
+            CASE WHEN len(lines) > 0 THEN round(
+              len(list_filter(lines, l -> regexp_matches(l, '{_BULLET_RE}')))
+                / len(lines), 4) ELSE 0.0 END AS bullet_line_frac,
+            CASE WHEN len(lines) > 0 THEN round(
+              len(list_filter(lines, l -> regexp_matches(l, '{_ELLIPSIS_RE}')))
+                / len(lines), 4) ELSE 0.0 END AS ellipsis_line_frac,
+            round(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+                  / n_words, 4) AS alpha_word_frac,
+            len(list_distinct(list_intersect(toks, [{stops}])))
+              AS n_stop_words
+          FROM feat
+        )
+        SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+               bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+               n_stop_words,
+               (n_words >= {th["min_words"]}
+                AND n_words <= {th["max_words"]}
+                AND mean_word_len >= {th["min_mean_word_len"]}
+                AND mean_word_len <= {th["max_mean_word_len"]}
+                AND symbol_word_ratio <= {th["max_symbol_word_ratio"]}
+                AND bullet_line_frac <= {th["max_bullet_line_frac"]}
+                AND ellipsis_line_frac <= {th["max_ellipsis_line_frac"]}
+                AND alpha_word_frac >= {th["min_alpha_word_frac"]}
+                AND n_stop_words >= {th["min_stop_words"]}) AS keep
+        FROM sig
+    """
+
+
 # ---------------------------------------------------------------- tf-idf
 def tfidf_topk_terms(
     docs: DataFrame,

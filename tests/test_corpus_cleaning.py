@@ -351,3 +351,74 @@ def test_corpus_lm_nll_separates_garbage_from_typical(spark):
             0,
             None,
         )
+
+
+# ------------------------------------------------------------ gopher rules
+def test_gopher_rules_each_rule_gates_independently(spark):
+    """One crafted doc per rule, failing exactly that rule at the paper
+    defaults (min_stop_words=2), plus a doc passing all of them."""
+    from nous_spark.operators.text import gopher_rules
+
+    passing = "the cat sat with a friendly dog " * 8  # 64 words, 2 stops
+    bullet_lines = "\n".join(
+        ["- the item with value nine extra words here"] * 10
+    )
+    ellipsis_lines = "\n".join(
+        ["the item with value nine extra words seven..."] * 4
+        + ["the item with value nine extra words seven"] * 6
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, passing),
+            (1, "the cat sat with a dog"),  # words < 50
+            (2, "extraordinarily " * 50 + "the with"),  # mean word len > 10
+            (3, passing + "hashtag#now " * 10),  # symbol ratio > 0.1
+            (4, bullet_lines),  # bullet line frac 1.0 > 0.9
+            (5, ellipsis_lines),  # ellipsis line frac 0.4 > 0.3
+            (6, passing + "12345 " * 30),  # alpha word frac < 0.8
+            (7, "cat sat dog run big red fox jump " * 8),  # 0 stop words
+        ],
+        DOC_SCHEMA,
+    )
+    out = _by_id(gopher_rules(docs).collect())
+    assert out[0]["keep"] is True
+    for i in range(1, 8):
+        assert out[i]["keep"] is False, i
+    # the failing signal is the expected one (all other rules pass)
+    assert out[1]["n_words"] < 50
+    assert out[2]["mean_word_len"] > 10.0
+    assert out[3]["symbol_word_ratio"] > 0.1
+    assert out[4]["bullet_line_frac"] > 0.9
+    assert out[5]["ellipsis_line_frac"] > 0.3
+    assert out[6]["alpha_word_frac"] < 0.8
+    assert out[7]["n_stop_words"] == 0
+    # ellipsis dots counted as symbols too, but under the 0.1 cap here
+    assert 0.0 < out[5]["symbol_word_ratio"] <= 0.1
+
+
+def test_gopher_rules_null_and_empty_text(spark):
+    """NULL text is coalesced to '' (the quality_filter convention):
+    one empty whitespace token, zero lines, all signals defined, keep
+    False — and identically for '' so the two cannot diverge."""
+    from nous_spark.operators.text import gopher_rules
+
+    docs = spark.createDataFrame([(1, None), (2, "")], DOC_SCHEMA)
+    out = _by_id(gopher_rules(docs).collect())
+    for i in (1, 2):
+        r = out[i]
+        assert r["n_words"] == 1 and r["mean_word_len"] == 0.0
+        assert r["bullet_line_frac"] == 0.0 and r["ellipsis_line_frac"] == 0.0
+        assert r["alpha_word_frac"] == 0.0 and r["n_stop_words"] == 0
+        assert r["keep"] is False
+
+
+def test_gopher_rules_unknown_threshold_raises(spark):
+    import pytest as _pytest
+
+    from nous_spark.operators.text import gopher_rules, gopher_rules_oracle_sql
+
+    docs = spark.createDataFrame([(1, "x")], DOC_SCHEMA)
+    with _pytest.raises(ValueError, match="unknown gopher"):
+        gopher_rules(docs, min_wordz=3)
+    with _pytest.raises(ValueError, match="unknown gopher"):
+        gopher_rules_oracle_sql(max_bullets=1)
