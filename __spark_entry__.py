@@ -450,6 +450,18 @@ def _q_doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_rules(_t(spark, sf_dir, "documents"), min_stop_words=1)
 
 
+def _q_doc_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scores (Xie et al. 2023): every doc scored by
+    how much its hashed uni+bigram statistics look like the target
+    domain (sources src0-src2, 15% of the corpus) vs the raw corpus —
+    exact integer micro-nat log-ratio sums, value-hash-checked."""
+    from nous_spark.operators.text import dsir_log_ratio_score
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source").isin("src0", "src1", "src2"))
+    return dsir_log_ratio_score(docs, target)
+
+
 def _q_doc_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization over fixed messy variants. urllib semantics
     aren't recomputable in DuckDB SQL, but the inputs are FIXED and
@@ -1265,8 +1277,8 @@ def _q_kg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER CONTRACT: the driver's CORRECTNESS artifact evaluates the
-    # FIRST 50 entries only. All 68 oracled entries precede the 2
-    # rows-only ones; overflow slots 51-68 hold oracled queries with no
+    # FIRST 50 entries only. All 69 oracled entries precede the 2
+    # rows-only ones; overflow slots 51-69 hold oracled queries with no
     # unique SURVEY §2 responsibility (ann_cosine_scores — E1 triple-
     # covered in-window — plus the generic TPC-H/left-join set, green in
     # the r1-r3 driver artifacts, plus doc_curation_pipeline and
@@ -1275,7 +1287,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # doc_quality_classifier, doc_quality_weighted_sample,
     # doc_corpus_lm_nll, doc_dedup_corpus_best, doc_dedup_incremental,
     # doc_gopher_rules — a rule-composite over signals whose in-window
-    # duties doc_quality_filter/doc_repetition_signals already carry),
+    # duties doc_quality_filter/doc_repetition_signals already carry,
+    # doc_dsir_scores — a corpus-trained scorer like in-window-adjacent
+    # doc_corpus_lm_nll/doc_quality_classifier),
     # still pytest-gated
     # via test_oracle_parity, which runs ALL entries.
     return {
@@ -1369,6 +1383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_corpus_best": _q_doc_dedup_corpus_best,
         "doc_dedup_incremental": _q_doc_dedup_incremental,
         "doc_gopher_rules": _q_doc_gopher_rules,
+        "doc_dsir_scores": _q_doc_dsir_scores,
         # rows-only (non-SQL-expressible: xxhash64 sketch, Python query
         # embedder)
         "doc_simhash_near_dups": _q_simhash_near_dups,
@@ -1466,6 +1481,71 @@ def _build_quality_clf_sql() -> str:
 
 
 _QUALITY_CLF_SQL = _build_quality_clf_sql()
+
+
+def _build_dsir_sql(
+    n_buckets: int = 64,
+    seed: int = 42,
+    target_pred: str = "source IN ('src0', 'src1', 'src2')",
+) -> str:
+    """DuckDB mirror of text.dsir_log_ratio_score: replays the
+    classifier featurization (tfidf tokenizer, '_'-joined adjacent
+    bigrams, cross-engine md5 bucket hash), the add-one-smoothed
+    bucket models of both corpora, and the exact integer micro-nat
+    summation. The target predicate string is the SQL form of the
+    Spark query's filter — passed in by the same caller, so the two
+    engines gate the target corpus identically."""
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, source,
+                 list_filter(
+                   regexp_split_to_array(
+                     regexp_replace(lower(coalesce(text, '')),
+                                    '[^a-záàâãéêíóôõúüçñ]+', ' ', 'g'),
+                     ' '),
+                   w -> w != '') AS tk
+          FROM documents
+        ),
+        terms AS (
+          SELECT doc_id, source,
+                 list_concat(tk,
+                   CASE WHEN len(tk) >= 2
+                        THEN list_transform(range(1, len(tk)),
+                                            i -> tk[i] || '_' || tk[i + 1])
+                        ELSE [] END) AS ts
+          FROM toks
+        ),
+        occ AS (
+          SELECT doc_id, source,
+                 (('0x' || substr(md5(t || ':{seed}'), 1, 8))::BIGINT
+                  % {n_buckets}) AS b
+          FROM terms, UNNEST(ts) AS u(t)
+        ),
+        rc AS (SELECT b, count(*) AS rc FROM occ GROUP BY b),
+        tc AS (SELECT b, count(*) AS tc FROM occ
+               WHERE {target_pred} GROUP BY b),
+        rt AS (SELECT sum(rc) AS rt FROM rc),
+        tt AS (SELECT coalesce(sum(tc), 0) AS tt FROM tc),
+        w AS (
+          SELECT rc.b,
+                 CAST(round((ln((coalesce(tc.tc, 0) + 1)
+                               / (tt.tt + {n_buckets}))
+                             - ln((rc.rc + 1) / (rt.rt + {n_buckets})))
+                            * 1e6) AS BIGINT) AS wm
+          FROM rc LEFT JOIN tc USING (b), rt, tt
+        ),
+        sc AS (
+          SELECT doc_id, count(*) AS n_terms, sum(wm) AS m
+          FROM occ JOIN w USING (b) GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(sc.n_terms, 0) AS n_terms,
+               CAST(coalesce(sc.m, 0) AS BIGINT) AS dsir_micro,
+               CASE WHEN sc.n_terms IS NOT NULL
+                    THEN round(sc.m / 1000000.0 / sc.n_terms, 4) + 0.0 END
+                 AS avg_log_ratio
+        FROM documents d LEFT JOIN sc USING (doc_id)
+    """
 
 
 def _build_usage_cost_sql() -> str:
@@ -2272,6 +2352,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_pii_scrub": _build_pii_scrub_sql(),
         "doc_gopher_rules": _gopher_rules_oracle_sql(min_stop_words=1),
+        "doc_dsir_scores": _build_dsir_sql(),
         "doc_token_budget_mix": _build_token_budget_mix_sql(),
         "doc_curation_pipeline": _build_curation_pipeline_sql(),
         "emb_cluster_sample": _EMB_CLUSTER_SAMPLE_SQL,

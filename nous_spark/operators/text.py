@@ -748,6 +748,130 @@ def quality_classifier_score(
     )
 
 
+def uni_bigram_terms_col(text: Column) -> Column:
+    """Hashed-feature term array shared by the importance sampler (and
+    featurization-identical to quality_classifier_score): word unigrams
+    (``word_tokens_col``) plus adjacent-word bigrams joined with '_'.
+    NULL handling is the CALLER's job (coalesce text to '' first)."""
+    tk = word_tokens_col(text)
+    bigrams = F.when(
+        F.size(tk) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - 1),
+            lambda i: F.concat_ws("_", F.element_at(tk, i), F.element_at(tk, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(tk, bigrams)
+
+
+def dsir_log_ratio_score(
+    docs: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+) -> DataFrame:
+    """DSIR importance scoring (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw doc by
+    how target-domain-like its hashed n-gram statistics are,
+
+        w(doc) = sum over term occurrences t of
+                   ln P_target(bucket(t)) - ln P_raw(bucket(t))
+
+    with add-one-smoothed bucket unigram models
+    P(b) = (count(b) + 1) / (total + n_buckets). High scores = looks
+    like the target domain; downstream resamples by weight (e.g. the
+    ``quality_weighted_sample`` Pareto rule or a top-fraction cut on
+    the exact integer score with id tiebreak).
+
+    Featurization: hashed word uni+bigrams, ``uni_bigram_terms_col`` —
+    the fastText hashing trick, identical to quality_classifier_score —
+    bucketed by the cross-engine md5 recipe (curation.hash_shard_col).
+    Returns one row per raw doc: (id, n_terms, dsir_micro,
+    avg_log_ratio) where dsir_micro is the EXACT integer sum of
+    per-bucket round(log-ratio * 1e6) micro-nats (fold-order-
+    independent, the corpus_lm_nll discipline; round() is half-away-
+    from-zero in Spark, DuckDB and Python alike, so the negative
+    weights round identically too) and avg_log_ratio =
+    round(dsir_micro/1e6/n_terms, 4), NULL for term-less docs
+    (n_terms 0). NULL text is coalesced to '' on both corpora.
+
+    Scale: both count tables aggregate to <= n_buckets rows (map-side
+    combine collapses every task to the table size) and are eagerly
+    localCheckpointed — the totals and the weight join derive from the
+    tiny tables, not corpus re-scans (the multi-consumer ReusedExchange
+    lesson); weights broadcast into the scoring pass. At 100 TB the
+    full-data costs are one raw-corpus scan for counts, one target-
+    corpus scan (the target is typically MB-scale curated text), one
+    raw scan for scoring, and a column-pruned id-only scan for the
+    zero-term left join. No windows, no pairs, no collect. Eager, like
+    the other corpus-trained operators. Reference has no analog
+    (builder brief: pretraining-curation extension)."""
+    terms = uni_bigram_terms_col(F.coalesce(F.col(text_col), F.lit("")))
+
+    def occ(src: DataFrame) -> DataFrame:
+        from nous_spark.operators.curation import hash_shard_col
+
+        return src.select(
+            F.col(id_col), F.explode(terms).alias("t")
+        ).select(F.col(id_col), hash_shard_col(F.col("t"), n_buckets, seed).alias("b"))
+
+    raw_occ = occ(docs)
+    raw_cnt = (
+        raw_occ.groupBy("b").agg(F.count("*").alias("rc")).localCheckpoint(eager=True)
+    )
+    tgt_cnt = (
+        occ(target).groupBy("b").agg(F.count("*").alias("tc"))
+        .localCheckpoint(eager=True)
+    )
+    raw_tot = raw_cnt.agg(F.sum("rc").alias("rt"))
+    tgt_tot = tgt_cnt.agg(F.coalesce(F.sum("tc"), F.lit(0)).alias("tt"))
+    weights = (
+        raw_cnt.join(tgt_cnt, "b", "left")
+        .crossJoin(F.broadcast(raw_tot))
+        .crossJoin(F.broadcast(tgt_tot))
+        .select(
+            "b",
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce(F.col("tc"), F.lit(0)) + 1)
+                        / (F.col("tt") + n_buckets)
+                    )
+                    - F.log((F.col("rc") + 1) / (F.col("rt") + n_buckets))
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("wm"),
+        )
+    )
+    agg = (
+        raw_occ.join(F.broadcast(weights), "b")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_terms"), F.sum("wm").alias("dsir_micro"))
+    )
+    return (
+        docs.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_terms", F.lit(0)).alias("n_terms"),
+            F.coalesce("dsir_micro", F.lit(0)).alias("dsir_micro"),
+            F.when(
+                F.col("n_terms").isNotNull(),
+                # + 0.0 folds IEEE -0.0 to +0.0 (both engines), so the
+                # sign of a rounded-to-zero ratio can't break parity
+                F.round(
+                    F.col("dsir_micro") / F.lit(1000000.0) / F.col("n_terms"), 4
+                )
+                + F.lit(0.0),
+            ).alias("avg_log_ratio"),
+        )
+    )
+
+
 def corpus_lm_nll(
     docs: DataFrame,
     id_col: str = "doc_id",

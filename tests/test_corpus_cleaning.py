@@ -422,3 +422,53 @@ def test_gopher_rules_unknown_threshold_raises(spark):
         gopher_rules(docs, min_wordz=3)
     with _pytest.raises(ValueError, match="unknown gopher"):
         gopher_rules_oracle_sql(max_bullets=1)
+
+
+# ------------------------------------------------------------- dsir scores
+def test_dsir_scores_separate_target_like_from_off_domain(spark):
+    """Docs sharing the target domain's vocabulary must outscore
+    off-domain docs; scores are exact integer micro-nat sums."""
+    from nous_spark.operators.text import dsir_log_ratio_score
+
+    target = spark.createDataFrame(
+        [(100 + i, "quantum physics entangled qubit superposition decoherence")
+         for i in range(4)],
+        DOC_SCHEMA,
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "quantum qubit decoherence entangled physics"),  # on-domain
+            (2, "buy cheap shoes discount sale free shipping offer"),  # off
+            (3, "quantum physics superposition qubit"),  # on-domain
+            (4, "celebrity gossip fashion style trends red carpet"),  # off
+        ],
+        DOC_SCHEMA,
+    )
+    out = _by_id(dsir_log_ratio_score(raw, target).collect())
+    on = {out[1]["avg_log_ratio"], out[3]["avg_log_ratio"]}
+    off = {out[2]["avg_log_ratio"], out[4]["avg_log_ratio"]}
+    assert min(on) > max(off)
+    # exact-integer invariant: micro sum / 1e6 / n_terms reproduces avg
+    for r in out.values():
+        assert r["dsir_micro"] == int(r["dsir_micro"])
+        assert abs(r["avg_log_ratio"]
+                   - round(r["dsir_micro"] / 1e6 / r["n_terms"], 4)) < 1e-9
+
+
+def test_dsir_scores_null_and_termless_docs(spark):
+    """NULL/empty/no-letter text -> zero terms, zero score, NULL avg —
+    the corpus_lm_nll zero-row convention."""
+    from nous_spark.operators.text import dsir_log_ratio_score
+
+    target = spark.createDataFrame([(9, "alpha beta gamma")], DOC_SCHEMA)
+    raw = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "12345 67890"), (4, "alpha beta")],
+        DOC_SCHEMA,
+    )
+    out = _by_id(dsir_log_ratio_score(raw, target).collect())
+    for i in (1, 2, 3):
+        assert out[i]["n_terms"] == 0
+        assert out[i]["dsir_micro"] == 0
+        assert out[i]["avg_log_ratio"] is None
+    assert out[4]["n_terms"] == 3  # alpha, beta, alpha_beta
+    assert out[4]["avg_log_ratio"] is not None
