@@ -371,3 +371,88 @@ def curation_pipeline(
     return _pack_token_frame(
         sampled, seq_budget_tokens, stratum_col, id_col, n_shards, seed
     )
+
+
+def quantile_buckets(
+    df: DataFrame,
+    score_col: str,
+    quantiles: tuple[float, ...] = (0.1, 0.5),
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+    group_col: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group quantile bucketing — the CCNet head/middle/tail split
+    (Wenzek et al. 2020 §4.4: each language's corpus is cut at
+    perplexity quantiles; 'head' trains first / survives hardest).
+    Bucket i holds rows with score <= t_i where t_i is the smallest
+    score whose inclusive cumulative count reaches ceil(q_i * n_group)
+    — an EXACT order statistic, not an approximate percentile, so the
+    DuckDB oracle reproduces it bit-for-bit. Ties at a threshold all
+    fall into the lower bucket (inclusive <=), which can make 'head'
+    hold more than q_0 of a group — the deterministic reading of the
+    CCNet rule. Rows with NULL score are dropped (a doc the scorer
+    could not score has no quantile); labels has one more entry than
+    quantiles (ascending, in (0, 1)).
+
+    Scale: the corpus never sorts. Rows collapse to a per-(group,
+    score) count table first (map-side combine — pass a ROUNDED score
+    column, e.g. corpus_lm_nll's avg_nll at 4 decimals, so the table
+    is bounded like the repo's other per-value aggregations); the
+    cumulative window runs over that bounded table (eagerly
+    localCheckpointed — its three consumers must not re-derive the
+    input, the multi-consumer ReusedExchange lesson), the |groups|-row
+    threshold table broadcasts back, and bucketing is a stateless map.
+    The hot group ('en' at half the corpus) costs one combinable
+    aggregation, never a group-sized window partition. The INPUT is
+    consumed twice (count-table build + final bucketing join) — if the
+    score column is expensive to derive (a corpus-trained model score),
+    persist/localCheckpoint the scored frame before calling, as the
+    driver's doc_ccnet_buckets query does.
+    """
+    from pyspark.sql import Window
+
+    if len(labels) != len(quantiles) + 1:
+        raise ValueError("labels must have len(quantiles) + 1 entries")
+    if list(quantiles) != sorted(quantiles) or not all(
+        0.0 < q < 1.0 for q in quantiles
+    ):
+        raise ValueError("quantiles must be ascending and inside (0, 1)")
+
+    gcol = group_col or "_qb_group"
+    base = df.filter(F.col(score_col).isNotNull())
+    if group_col is None:
+        base = base.withColumn(gcol, F.lit("_all"))
+    sc = (
+        base.groupBy(gcol, score_col)
+        .agg(F.count("*").alias("_cnt"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy(gcol).orderBy(score_col)
+    cum = sc.withColumn("_cum", F.sum("_cnt").over(w))
+    tot = sc.groupBy(gcol).agg(F.sum("_cnt").alias("_n"))
+    thr = (
+        cum.join(tot, gcol)
+        .groupBy(gcol)
+        .agg(
+            *[
+                F.min(
+                    F.when(
+                        F.col("_cum") >= F.ceil(F.lit(q) * F.col("_n")),
+                        F.col(score_col),
+                    )
+                ).alias(f"_t{i}")
+                for i, q in enumerate(quantiles)
+            ]
+        )
+    )
+    bucket = F.lit(labels[-1])
+    for i in range(len(quantiles) - 1, -1, -1):
+        bucket = F.when(F.col(score_col) <= F.col(f"_t{i}"), F.lit(labels[i])).otherwise(
+            bucket
+        )
+    out_cols = [id_col] + ([group_col] if group_col else []) + [score_col]
+    return (
+        base.join(F.broadcast(thr), gcol)
+        .withColumn("bucket", bucket)
+        .select(*out_cols, "bucket")
+    )

@@ -254,3 +254,55 @@ def test_quality_weighted_sample_pareto_rule(spark):
     # score=1 -> threshold 0 -> kept for any nonzero draw
     ones = spark.createDataFrame([(7, 1.0), (8, 1.0)], "doc_id long, quality_score double")
     assert {r.doc_id for r in quality_weighted_sample(ones).collect()} == {7, 8}
+
+
+# --------------------------------------------------------- quantile buckets
+def test_quantile_buckets_exact_order_statistics(spark):
+    """scores 1..10, cuts at 0.2/0.5: t0 = 2nd smallest = 2,
+    t1 = 5th smallest = 5; buckets split 2/3/5."""
+    from nous_spark.operators.curation import quantile_buckets
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 11)], "doc_id long, s double"
+    )
+    out = {r["doc_id"]: r["bucket"]
+           for r in quantile_buckets(df, "s", (0.2, 0.5)).collect()}
+    assert [out[i] for i in range(1, 11)] == (
+        ["head"] * 2 + ["middle"] * 3 + ["tail"] * 5
+    )
+
+
+def test_quantile_buckets_ties_fall_low_and_groups_independent(spark):
+    """Ties at a threshold all take the lower bucket (head may exceed
+    q0); each group gets its own thresholds; NULL scores are dropped."""
+    from nous_spark.operators.curation import quantile_buckets
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 1.0), (3, "a", 1.0), (4, "a", 9.0),
+         (5, "b", 5.0), (6, "b", 6.0), (7, "b", 7.0), (8, "b", 8.0),
+         (9, "b", None)],
+        "doc_id long, lang string, s double",
+    )
+    rows = quantile_buckets(df, "s", (0.25, 0.5), group_col="lang").collect()
+    out = {r["doc_id"]: r["bucket"] for r in rows}
+    # group a: n=4, t0 = 1st smallest = 1.0 -> ALL three 1.0s are head
+    assert out[1] == out[2] == out[3] == "head"
+    assert out[4] == "tail"
+    # group b: n=4 (NULL dropped), t0=5.0, t1=6.0
+    assert out[5] == "head" and out[6] == "middle"
+    assert out[7] == out[8] == "tail"
+    assert 9 not in out
+
+
+def test_quantile_buckets_validates_arguments(spark):
+    import pytest as _pytest
+
+    from nous_spark.operators.curation import quantile_buckets
+
+    df = spark.createDataFrame([(1, 1.0)], "doc_id long, s double")
+    with _pytest.raises(ValueError, match="labels"):
+        quantile_buckets(df, "s", (0.5,), labels=("a", "b", "c"))
+    with _pytest.raises(ValueError, match="ascending"):
+        quantile_buckets(df, "s", (0.9, 0.1), labels=("a", "b", "c"))
+    with _pytest.raises(ValueError, match="ascending"):
+        quantile_buckets(df, "s", (0.0, 0.5), labels=("a", "b", "c"))
