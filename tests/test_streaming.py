@@ -426,3 +426,43 @@ def test_quality_pipeline_filters_at_ingest(spark, tmp_path):
         for r in quality_weighted_sample(quality_classifier_score(docs)).collect()
     }
     assert got == want and 0 < len(want) < 40
+
+
+def test_gopher_rules_compose_with_streaming(spark, tmp_path):
+    """gopher_rules is a stateless Column map (zero exchanges), so it
+    must run unchanged on a readStream frame — the ingest-time rule
+    gate of a curation pipeline — and agree with the batch result."""
+    from nous_spark.operators.text import gopher_rules
+
+    src = str(tmp_path / "gopher_src")
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat with a friendly dog " * 8),  # passes
+            (2, "too short the with"),  # fails word count
+            (3, None),  # NULL convention
+        ],
+        "doc_id long, text string",
+    )
+    docs.coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        gopher_rules(stream)
+        .writeStream.format("memory")
+        .queryName("gopher_stream_q")
+        .option("checkpointLocation", str(tmp_path / "cp_gopher"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["n_words"], r["keep"])
+        for r in spark.sql("select * from gopher_stream_q").collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_words"], r["keep"])
+        for r in gopher_rules(docs).collect()
+    }
+    assert got == want
+    assert got[1][1] is True and got[2][1] is False and got[3][1] is False
