@@ -1028,6 +1028,20 @@ def _q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_emb_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: vectors with vec_id % 17 == 0
+    stand in for the eval benchmark; every training vector reports its
+    max cosine vs that set, the nearest eval id (rounded-score ties ->
+    smallest id), and a contaminated flag at 0.35 — the semantic
+    complement of the 13-gram doc_decontaminate row."""
+    from nous_spark.operators.dedup import decontaminate_semantic
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return decontaminate_semantic(
+        emb, emb.filter(F.col("vec_id") % 17 == 0), threshold=0.35
+    )
+
+
 def _q_doc_top_k_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quota capping (the 'at most k pages per domain' crawl
     rule): two-phase sharded top-5 by (n_chars desc, doc_id) — exactly
@@ -1297,8 +1311,8 @@ def _q_kg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER CONTRACT: the driver's CORRECTNESS artifact evaluates the
-    # FIRST 50 entries only. All 70 oracled entries precede the 2
-    # rows-only ones; overflow slots 51-70 hold oracled queries with no
+    # FIRST 50 entries only. All 71 oracled entries precede the 2
+    # rows-only ones; overflow slots 51-71 hold oracled queries with no
     # unique SURVEY §2 responsibility (ann_cosine_scores — E1 triple-
     # covered in-window — plus the generic TPC-H/left-join set, green in
     # the r1-r3 driver artifacts, plus doc_curation_pipeline and
@@ -1310,7 +1324,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # duties doc_quality_filter/doc_repetition_signals already carry,
     # doc_dsir_scores — a corpus-trained scorer like in-window-adjacent
     # doc_corpus_lm_nll/doc_quality_classifier, doc_ccnet_buckets — the
-    # lm_nll -> quantile split composition),
+    # lm_nll -> quantile split composition, emb_decontaminate_semantic —
+    # the semantic twin of in-window doc_decontaminate over the same
+    # broadcast-eval shape),
     # still pytest-gated
     # via test_oracle_parity, which runs ALL entries.
     return {
@@ -1406,6 +1422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_gopher_rules": _q_doc_gopher_rules,
         "doc_dsir_scores": _q_doc_dsir_scores,
         "doc_ccnet_buckets": _q_doc_ccnet_buckets,
+        "emb_decontaminate_semantic": _q_emb_decontaminate_semantic,
         # rows-only (non-SQL-expressible: xxhash64 sketch, Python query
         # embedder)
         "doc_simhash_near_dups": _q_simhash_near_dups,
@@ -2400,6 +2417,28 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(n_shared_grams, 0) > 0 AS contaminated
             FROM (SELECT doc_id FROM documents WHERE doc_id % 10 != 0) d
             LEFT JOIN hits USING (doc_id)
+        """,
+        "emb_decontaminate_semantic": """
+            WITH ev AS (
+              SELECT vec_id AS eval_id, embedding::DOUBLE[] AS ev
+              FROM embeddings WHERE vec_id % 17 = 0
+            ),
+            scored AS (
+              SELECT t.vec_id, e.eval_id,
+                     round(list_cosine_similarity(t.embedding::DOUBLE[], e.ev),
+                           4) AS s
+              FROM embeddings t CROSS JOIN ev e
+            ),
+            best AS (
+              SELECT vec_id, s AS max_eval_sim, eval_id AS nearest_eval_id,
+                     row_number() OVER (
+                       PARTITION BY vec_id ORDER BY s DESC, eval_id ASC
+                     ) AS rn
+              FROM scored
+            )
+            SELECT vec_id, max_eval_sim, nearest_eval_id,
+                   max_eval_sim >= 0.35 AS contaminated
+            FROM best WHERE rn = 1
         """,
         "doc_top_k_per_source": """
             SELECT source, doc_id, n_chars,

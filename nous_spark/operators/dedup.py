@@ -1081,6 +1081,73 @@ def decontaminate(
     )
 
 
+def decontaminate_semantic(
+    vectors: DataFrame,
+    eval_vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: a training document
+    whose embedding has cosine similarity >= ``threshold`` to ANY
+    eval-set embedding is contaminated — the semantic complement of the
+    13-gram :func:`decontaminate` (catches paraphrased/translated eval
+    leakage that exact n-grams miss; the near-dedup step of Phi/Llama-3
+    style data reports). Returns one row per training vector:
+    (id, max_eval_sim, nearest_eval_id, contaminated).
+
+    Scale: eval benchmarks are thousands of vectors against a 100 TB
+    corpus — the eval matrix is collected once, L2-normalized, and
+    broadcast; the training side is a single Arrow-batched numpy matmul
+    ``mapInPandas`` with ZERO shuffles (narrow map over the scan, same
+    shape as the PII scrub). No top-k window is needed because only the
+    per-row max survives, computed inside the batch.
+
+    Determinism/oracle parity: scores are rounded to 4 decimals BEFORE
+    the max/argmax (round is monotone, so max-of-rounded ==
+    round-of-max) and ``nearest_eval_id`` breaks rounded-score ties by
+    the SMALLEST eval id — eval ids are sorted ascending so numpy's
+    first-max argmax implements exactly the DuckDB oracle's
+    ``ORDER BY s DESC, eval_id ASC`` pick. The ``contaminated`` flag
+    compares the rounded score (the ann_cosine_scores treatment), so
+    both engines threshold the same 4-decimal value.
+    """
+    erows = eval_vectors.select(id_col, vec_col).collect()
+    if not erows:
+        raise ValueError("decontaminate_semantic: empty eval set")
+    erows.sort(key=lambda r: r[id_col])
+    e_ids = np.array([r[id_col] for r in erows], dtype=np.int64)
+    em = np.array([r[vec_col] for r in erows], dtype=np.float64)
+    en = em / np.maximum(np.linalg.norm(em, axis=1, keepdims=True), 1e-12)
+    sc = vectors.sparkSession.sparkContext
+    be = sc.broadcast((e_ids, en))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, emat = be.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vm = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            vn = vm / np.maximum(np.linalg.norm(vm, axis=1, keepdims=True), 1e-12)
+            r = np.round(vn @ emat.T, 4)  # (batch, n_eval)
+            best = np.argmax(r, axis=1)  # first max == smallest eval id
+            mx = r[np.arange(len(r)), best]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "max_eval_sim": mx,
+                    "nearest_eval_id": ids[best],
+                    "contaminated": mx >= threshold,
+                }
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        gen,
+        f"{id_col} long, max_eval_sim double, nearest_eval_id long, "
+        "contaminated boolean",
+    )
+
+
 # --------------------------------------------------------------------------
 # substring-level exact dedup (duplicate-span removal)
 # --------------------------------------------------------------------------

@@ -170,3 +170,55 @@ def test_buckets_multi_equals_per_table(spark):
         solo = hyperplane_buckets(vecs, 6, None, 42 + 7919 * t).collect()
         assert all(got[(r["vec_id"], t)] == r["bucket"] for r in solo)
         assert len(solo) == sum(1 for (_, tt) in got if tt == t)
+
+
+# ---------------------------------------------------------------- semantic decontamination
+def test_decontaminate_semantic_matches_numpy_reference(spark):
+    """Operator output == a brute-force numpy reference (rounded scores,
+    max per row, smallest-eval-id tie-break) on seeded random vectors."""
+    from nous_spark.operators.dedup import decontaminate_semantic
+
+    rng = np.random.RandomState(11)
+    vm = rng.standard_normal((60, DIM))
+    rows = [(i, [float(x) for x in vm[i]]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    ev = df.filter("vec_id % 7 = 0")
+
+    got = {r["vec_id"]: r for r in decontaminate_semantic(df, ev, 0.4).collect()}
+
+    e_ids = np.array(sorted(i for i in range(60) if i % 7 == 0))
+    # reference normalizes from the float32 column values, as the op sees them
+    vm32 = vm.astype(np.float32).astype(np.float64)
+    vn = vm32 / np.linalg.norm(vm32, axis=1, keepdims=True)
+    r = np.round(vn @ vn[e_ids].T, 4)
+    for i in range(60):
+        best = int(np.argmax(r[i]))
+        assert got[i]["max_eval_sim"] == pytest.approx(r[i].max(), abs=0)
+        assert got[i]["nearest_eval_id"] == int(e_ids[best])
+        assert got[i]["contaminated"] == bool(r[i].max() >= 0.4)
+    # eval members self-match at exactly 1.0
+    assert all(got[int(i)]["max_eval_sim"] == 1.0 for i in e_ids)
+
+
+def test_decontaminate_semantic_tie_breaks_to_smallest_eval_id(spark):
+    """Two byte-identical eval vectors tie on every rounded score — the
+    nearest_eval_id must be the smaller id (the oracle's ORDER BY
+    s DESC, eval_id ASC pick)."""
+    from nous_spark.operators.dedup import decontaminate_semantic
+
+    v = [1.0, 0.0, 0.0, 0.0]
+    rows = [(0, v), (5, v), (9, [0.0, 1.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    ev = df.filter("vec_id != 9")
+    got = {r["vec_id"]: r for r in decontaminate_semantic(df, ev, 0.9).collect()}
+    assert got[0]["nearest_eval_id"] == 0 and got[5]["nearest_eval_id"] == 0
+    assert got[0]["contaminated"] and got[5]["contaminated"]
+    assert not got[9]["contaminated"] and got[9]["max_eval_sim"] == 0.0
+
+
+def test_decontaminate_semantic_empty_eval_raises(spark):
+    from nous_spark.operators.dedup import decontaminate_semantic
+
+    df = spark.createDataFrame([(0, [1.0, 0.0])], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty eval set"):
+        decontaminate_semantic(df, df.filter("vec_id < 0"))
