@@ -466,3 +466,41 @@ def test_gopher_rules_compose_with_streaming(spark, tmp_path):
     }
     assert got == want
     assert got[1][1] is True and got[2][1] is False and got[3][1] is False
+
+
+def test_decontaminate_semantic_composes_with_streaming(spark, tmp_path):
+    """decontaminate_semantic is a stateless broadcast-matmul map (the
+    eval matrix is collected from a BATCH frame at build time), so the
+    training side can be a readStream frame: contamination is flagged at
+    ingest, before a doc ever lands in the corpus. Stream == batch."""
+    import numpy as np
+
+    from nous_spark.operators.dedup import decontaminate_semantic
+
+    rng = np.random.RandomState(23)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(30)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    ev = vecs.filter("vec_id % 5 = 0")
+
+    src = str(tmp_path / "vec_src")
+    vecs.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("vec_id long, embedding array<float>").parquet(src)
+    q = (
+        decontaminate_semantic(stream, ev, threshold=0.5)
+        .writeStream.format("memory")
+        .queryName("decon_sem_stream_q")
+        .option("checkpointLocation", str(tmp_path / "cp_decon_sem"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["vec_id"]: (r["max_eval_sim"], r["nearest_eval_id"], r["contaminated"])
+        for r in spark.sql("select * from decon_sem_stream_q").collect()
+    }
+    want = {
+        r["vec_id"]: (r["max_eval_sim"], r["nearest_eval_id"], r["contaminated"])
+        for r in decontaminate_semantic(vecs, ev, threshold=0.5).collect()
+    }
+    assert got == want and len(want) == 30
