@@ -1028,6 +1028,16 @@ def _q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_doc_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + fixed shard layout (the
+    reproducible-training-order last mile): every doc gets a (shard,
+    pos) from two independent md5 contexts; identical across runs and
+    physical partitionings."""
+    from nous_spark.operators.curation import shuffle_to_shards
+
+    return shuffle_to_shards(_t(spark, sf_dir, "documents"), n_shards=8)
+
+
 def _q_emb_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space decontamination: vectors with vec_id % 17 == 0
     stand in for the eval benchmark; every training vector reports its
@@ -1311,8 +1321,8 @@ def _q_kg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER CONTRACT: the driver's CORRECTNESS artifact evaluates the
-    # FIRST 50 entries only. All 71 oracled entries precede the 2
-    # rows-only ones; overflow slots 51-71 hold oracled queries with no
+    # FIRST 50 entries only. All 72 oracled entries precede the 2
+    # rows-only ones; overflow slots 51-72 hold oracled queries with no
     # unique SURVEY §2 responsibility (ann_cosine_scores — E1 triple-
     # covered in-window — plus the generic TPC-H/left-join set, green in
     # the r1-r3 driver artifacts, plus doc_curation_pipeline and
@@ -1326,7 +1336,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # doc_corpus_lm_nll/doc_quality_classifier, doc_ccnet_buckets — the
     # lm_nll -> quantile split composition, emb_decontaminate_semantic —
     # the semantic twin of in-window doc_decontaminate over the same
-    # broadcast-eval shape),
+    # broadcast-eval shape, doc_shuffle_shards — the deterministic-layout
+    # twin of in-window doc_pack_sequences/doc_stratified_sample),
     # still pytest-gated
     # via test_oracle_parity, which runs ALL entries.
     return {
@@ -1423,6 +1434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dsir_scores": _q_doc_dsir_scores,
         "doc_ccnet_buckets": _q_doc_ccnet_buckets,
         "emb_decontaminate_semantic": _q_emb_decontaminate_semantic,
+        "doc_shuffle_shards": _q_doc_shuffle_shards,
         # rows-only (non-SQL-expressible: xxhash64 sketch, Python query
         # embedder)
         "doc_simhash_near_dups": _q_simhash_near_dups,
@@ -2417,6 +2429,18 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(n_shared_grams, 0) > 0 AS contaminated
             FROM (SELECT doc_id FROM documents WHERE doc_id % 10 != 0) d
             LEFT JOIN hits USING (doc_id)
+        """,
+        "doc_shuffle_shards": """
+            WITH t AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 8))::BIGINT % 8
+                       AS shard,
+                     md5(doc_id::VARCHAR || ':shuf:42') AS sk
+              FROM documents
+            )
+            SELECT doc_id, shard,
+                   row_number() OVER (PARTITION BY shard ORDER BY sk, doc_id) AS pos
+            FROM t
         """,
         "emb_decontaminate_semantic": """
             WITH ev AS (

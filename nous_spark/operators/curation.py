@@ -185,6 +185,54 @@ def _pack_token_frame(
     )
 
 
+def shuffle_to_shards(
+    docs: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic global shuffle + fixed shard layout — the last mile
+    of a pretraining pipeline: every surviving document gets a
+    reproducible pseudo-random training position, expressed as
+    (shard, pos) with the total order (shard asc, pos asc). Unlike
+    ``DataFrame.orderBy(rand())`` the layout is identical across runs,
+    engines, and physical partitionings, so a resumed or re-run job
+    feeds the trainer byte-identical batch order.
+
+    Shard = the 32-bit md5 draw of ``hash_shard_col`` (id:seed);
+    within-shard order = full md5 of "id:shuf:seed" (a SECOND,
+    independent hash context — shard and order don't correlate), ties
+    (md5 collisions) broken by id. ``pos`` is 1-based and contiguous
+    per shard.
+
+    Scale: the only wide ops are the hash-partitioned per-shard
+    row_number windows over (id, 2×16-byte hash) rows — the payload is
+    NOT carried through the sort; join text back on id at write time
+    (one co-partitioned shuffle) or write shards directly with
+    repartition(shard).sortWithinPartitions. n_shards is this
+    operator's hot-key cap (CLAUDE.md invariant): size it so
+    corpus_docs / n_shards fits one task's sort budget (~10M keys) —
+    at 10^10 docs that's n_shards ≈ 1024, and shard sizes concentrate
+    tightly around the mean (md5 is uniform)."""
+    from pyspark.sql import Window
+
+    key = F.col(id_col)
+    sk = F.md5(
+        F.concat_ws(":", key.cast("string"), F.lit("shuf"), F.lit(str(seed))).cast(
+            "binary"
+        )
+    )
+    d = docs.select(
+        key.alias(id_col),
+        hash_shard_col(key, n_shards, seed).alias("shard"),
+        sk.alias("_sk"),
+    )
+    w = Window.partitionBy("shard").orderBy(F.asc("_sk"), F.asc(id_col))
+    return d.withColumn("pos", F.row_number().over(w).cast("long")).select(
+        id_col, "shard", "pos"
+    )
+
+
 def top_k_per_group(
     df: DataFrame,
     k: int,

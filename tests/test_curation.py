@@ -306,3 +306,53 @@ def test_quantile_buckets_validates_arguments(spark):
         quantile_buckets(df, "s", (0.9, 0.1), labels=("a", "b", "c"))
     with _pytest.raises(ValueError, match="ascending"):
         quantile_buckets(df, "s", (0.0, 0.5), labels=("a", "b", "c"))
+
+
+# ---------------------------------------------------------------- shuffle_to_shards
+def test_shuffle_to_shards_matches_python_reference(spark):
+    """(shard, pos) == a pure-Python md5 reference: shard from the
+    'id:seed' 32-bit draw, order from the independent 'id:shuf:seed'
+    full digest, ties by id."""
+    import hashlib
+
+    from nous_spark.operators.curation import shuffle_to_shards
+
+    ids = list(range(300))
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r["doc_id"]: (r["shard"], r["pos"])
+           for r in shuffle_to_shards(docs, n_shards=8, seed=42).collect()}
+
+    def shard(i):
+        return int(hashlib.md5(f"{i}:42".encode()).hexdigest()[:8], 16) % 8
+
+    def sk(i):
+        return hashlib.md5(f"{i}:shuf:42".encode()).hexdigest()
+
+    want = {}
+    for s in range(8):
+        members = sorted((i for i in ids if shard(i) == s), key=lambda i: (sk(i), i))
+        for pos, i in enumerate(members, start=1):
+            want[i] = (s, pos)
+    assert got == want
+
+
+def test_shuffle_to_shards_invariant_to_physical_partitioning(spark):
+    """The layout is a pure function of (id, seed, n_shards): any
+    repartitioning of the input produces the byte-identical map — the
+    resumability/reproducibility contract."""
+    from nous_spark.operators.curation import shuffle_to_shards
+
+    docs = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    a = sorted(map(tuple, shuffle_to_shards(docs, 16).collect()))
+    b = sorted(map(tuple, shuffle_to_shards(docs.repartition(13), 16).collect()))
+    assert a == b
+    # positions are 1..size contiguous per shard
+    from collections import Counter
+    per = Counter(s for _, s, _ in a)
+    pos = {}
+    for _, s, p in a:
+        pos.setdefault(s, set()).add(p)
+    assert all(pos[s] == set(range(1, per[s] + 1)) for s in per)
+    # a different seed produces a different order (not a constant map)
+    c = sorted(map(tuple, shuffle_to_shards(docs, 16, seed=7).collect()))
+    assert a != c
