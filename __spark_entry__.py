@@ -1028,6 +1028,15 @@ def _q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_doc_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SlimPajama-style soft dedup: each exact-duplicate copy survives
+    with probability 1/cluster_size via the deterministic md5 draw —
+    duplicate-heavy sources downweighted, uniques always kept."""
+    from nous_spark.operators.dedup import soft_dedup
+
+    return soft_dedup(_t(spark, sf_dir, "documents"))
+
+
 def _q_doc_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle + fixed shard layout (the
     reproducible-training-order last mile): every doc gets a (shard,
@@ -1321,8 +1330,8 @@ def _q_kg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER CONTRACT: the driver's CORRECTNESS artifact evaluates the
-    # FIRST 50 entries only. All 72 oracled entries precede the 2
-    # rows-only ones; overflow slots 51-72 hold oracled queries with no
+    # FIRST 50 entries only. All 73 oracled entries precede the 2
+    # rows-only ones; overflow slots 51-73 hold oracled queries with no
     # unique SURVEY §2 responsibility (ann_cosine_scores — E1 triple-
     # covered in-window — plus the generic TPC-H/left-join set, green in
     # the r1-r3 driver artifacts, plus doc_curation_pipeline and
@@ -1337,7 +1346,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # lm_nll -> quantile split composition, emb_decontaminate_semantic —
     # the semantic twin of in-window doc_decontaminate over the same
     # broadcast-eval shape, doc_shuffle_shards — the deterministic-layout
-    # twin of in-window doc_pack_sequences/doc_stratified_sample),
+    # twin of in-window doc_pack_sequences/doc_stratified_sample,
+    # doc_soft_dedup — the downweighting twin of in-window
+    # doc_exact_dedup/doc_quality_weighted_sample),
     # still pytest-gated
     # via test_oracle_parity, which runs ALL entries.
     return {
@@ -1435,6 +1446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ccnet_buckets": _q_doc_ccnet_buckets,
         "emb_decontaminate_semantic": _q_emb_decontaminate_semantic,
         "doc_shuffle_shards": _q_doc_shuffle_shards,
+        "doc_soft_dedup": _q_doc_soft_dedup,
         # rows-only (non-SQL-expressible: xxhash64 sketch, Python query
         # embedder)
         "doc_simhash_near_dups": _q_simhash_near_dups,
@@ -2429,6 +2441,17 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(n_shared_grams, 0) > 0 AS contaminated
             FROM (SELECT doc_id FROM documents WHERE doc_id % 10 != 0) d
             LEFT JOIN hits USING (doc_id)
+        """,
+        "doc_soft_dedup": """
+            WITH c AS (
+              SELECT md5(coalesce(text, '')) AS h, count(*) AS n_copies
+              FROM documents GROUP BY 1
+            )
+            SELECT doc_id, n_copies,
+                   ('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 8))::BIGINT
+                     / 4294967296.0
+                   < 1.0 / n_copies AS keep
+            FROM documents d JOIN c ON md5(coalesce(d.text, '')) = c.h
         """,
         "doc_shuffle_shards": """
             WITH t AS (

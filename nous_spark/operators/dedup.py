@@ -1081,6 +1081,54 @@ def decontaminate(
     )
 
 
+def soft_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+) -> DataFrame:
+    """SlimPajama/DataComp-style SOFT deduplication: instead of hard-
+    dropping exact duplicates, keep each copy with probability
+    1/cluster_size — expected ONE surviving copy per distinct text,
+    but which copy survives is uniform, so duplicate-heavy sources are
+    downweighted rather than deterministically biased toward the
+    min-id copy. Returns one row per doc: (id, n_copies, keep).
+
+    The stochastic rule is inverted into the repo's deterministic
+    draw: keep iff u(id) < 1.0/n_copies, with u the exact
+    2^-32-multiple md5 uniform (``hash_uniform_col`` recipe) and
+    1.0/n the same IEEE double in both engines — the decision is
+    float-exact cross-engine and invariant to partitioning/ordering.
+    Uniques (n=1) are always kept (u < 1.0 by construction). NULL
+    text groups with '' (coalesce) so no row is silently dropped by
+    a NULL join key.
+
+    Scale: one map-side-combinable count keyed by the 16-byte text
+    md5 (one row per DISTINCT text) + one AQE-planned shuffle join
+    back; no windows, no hot keys — the billion-fold boilerplate
+    text is ONE count row, and its copies re-join by hash like any
+    other key.
+    """
+    from nous_spark.operators.curation import hash_uniform_col
+
+    h = F.md5(F.coalesce(F.col(text_col), F.lit("")).cast("binary"))
+    counts = (
+        docs.select(h.alias("_h"))
+        .groupBy("_h")
+        .agg(F.count("*").alias("n_copies"))
+    )
+    u = hash_uniform_col(F.col(id_col), seed)
+    return (
+        docs.select(F.col(id_col), h.alias("_h"), u.alias("_u"))
+        .join(counts, "_h")
+        .select(
+            id_col,
+            "n_copies",
+            (F.col("_u") < F.lit(1.0) / F.col("n_copies")).alias("keep"),
+        )
+    )
+
+
 def decontaminate_semantic(
     vectors: DataFrame,
     eval_vectors: DataFrame,

@@ -356,3 +356,40 @@ def test_shuffle_to_shards_invariant_to_physical_partitioning(spark):
     # a different seed produces a different order (not a constant map)
     c = sorted(map(tuple, shuffle_to_shards(docs, 16, seed=7).collect()))
     assert a != c
+
+
+def test_soft_dedup_matches_python_reference_and_downweights(spark):
+    """soft_dedup == the pure-Python rule (u(id) < 1/n_copies with the
+    md5 draw) on planted duplicate clusters; uniques always survive;
+    result invariant to physical partitioning; NULL text groups with
+    ''."""
+    import hashlib
+
+    from nous_spark.operators.dedup import soft_dedup
+
+    rows = []
+    for i in range(200):
+        rows.append((i, f"unique text {i}"))
+    for i in range(200, 260):
+        rows.append((i, "the boilerplate cookie banner"))  # one 60-copy cluster
+    rows.append((260, None))
+    rows.append((261, ""))  # NULL and '' share a cluster (coalesce rule)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {r["doc_id"]: (r["n_copies"], r["keep"])
+           for r in soft_dedup(docs, seed=42).collect()}
+    assert sorted(got) == [r[0] for r in rows]
+
+    def u(i):
+        return int(hashlib.md5(f"{i}:42".encode()).hexdigest()[:8], 16) / 2**32
+
+    for i, t in rows:
+        n = 60 if 200 <= i < 260 else (2 if i >= 260 else 1)
+        assert got[i] == (n, u(i) < 1.0 / n), (i, got[i], n)
+    assert all(got[i][1] for i in range(200))  # uniques: always kept
+    survivors = sum(got[i][1] for i in range(200, 260))
+    assert 0 <= survivors <= 5  # E=1 of 60 copies; the draw is fixed, just sane-bound it
+
+    re = {r["doc_id"]: (r["n_copies"], r["keep"])
+          for r in soft_dedup(docs.repartition(11), seed=42).collect()}
+    assert re == got
