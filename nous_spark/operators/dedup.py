@@ -1107,25 +1107,23 @@ def soft_dedup(
     md5 (one row per DISTINCT text) + one AQE-planned shuffle join
     back; no windows, no hot keys — the billion-fold boilerplate
     text is ONE count row, and its copies re-join by hash like any
-    other key.
+    other key. The (id, hash, draw) frame feeds BOTH the count and
+    the join probe, so it is eagerly localCheckpointed (the repo's
+    multi-consumer discipline): text is scanned and hashed ONCE, and
+    the ~50-byte/row checkpoint replaces a second full-corpus scan.
     """
     from nous_spark.operators.curation import hash_uniform_col
 
     h = F.md5(F.coalesce(F.col(text_col), F.lit("")).cast("binary"))
-    counts = (
-        docs.select(h.alias("_h"))
-        .groupBy("_h")
-        .agg(F.count("*").alias("n_copies"))
-    )
     u = hash_uniform_col(F.col(id_col), seed)
-    return (
-        docs.select(F.col(id_col), h.alias("_h"), u.alias("_u"))
-        .join(counts, "_h")
-        .select(
-            id_col,
-            "n_copies",
-            (F.col("_u") < F.lit(1.0) / F.col("n_copies")).alias("keep"),
-        )
+    hashed = docs.select(
+        F.col(id_col), h.alias("_h"), u.alias("_u")
+    ).localCheckpoint()
+    counts = hashed.groupBy("_h").agg(F.count("*").alias("n_copies"))
+    return hashed.join(counts, "_h").select(
+        id_col,
+        "n_copies",
+        (F.col("_u") < F.lit(1.0) / F.col("n_copies")).alias("keep"),
     )
 
 
