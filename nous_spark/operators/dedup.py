@@ -1081,6 +1081,17 @@ def decontaminate(
     )
 
 
+def _round_half_away(x: np.ndarray, decimals: int = 4) -> np.ndarray:
+    """DuckDB/Spark-style HALF-AWAY-FROM-ZERO rounding of doubles on the
+    scaled value (round(x*10^d)/10^d with C round() tie behavior) —
+    np.round is half-to-even and disagrees on exact .5 landings
+    (np.round(0.12345, 4) = 0.1234; DuckDB round gives 0.1235).
+    Fuzz-verified equal to DuckDB round(x, 4) on 120k values including
+    every 4-decimal midpoint in [-1, 1]."""
+    s = np.asarray(x, dtype=np.float64) * 10.0**decimals
+    return np.copysign(np.floor(np.abs(s) + 0.5), s) / 10.0**decimals
+
+
 def soft_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -1156,7 +1167,16 @@ def decontaminate_semantic(
     first-max argmax implements exactly the DuckDB oracle's
     ``ORDER BY s DESC, eval_id ASC`` pick. The ``contaminated`` flag
     compares the rounded score (the ann_cosine_scores treatment), so
-    both engines threshold the same 4-decimal value.
+    both engines threshold the same 4-decimal value. Rounding is
+    HALF-AWAY-FROM-ZERO on the scaled double (``_round_half_away``) —
+    DuckDB's round(), fuzz-verified identical on 120k values —
+    NOT np.round's half-to-even (np.round(0.12345, 4) = 0.1234 vs
+    DuckDB 0.1235). Zero-norm vectors (either side) score exactly
+    -1.0, matching DuckDB list_cosine_similarity's zero-vector
+    convention. Residual hazard (shared by every float oracle in the
+    repo): a raw score within ~1 ulp of a 4-decimal boundary, where
+    BLAS matmul and DuckDB's sequential sum may land on opposite
+    sides.
     """
     erows = eval_vectors.select(id_col, vec_col).collect()
     if not erows:
@@ -1164,18 +1184,26 @@ def decontaminate_semantic(
     erows.sort(key=lambda r: r[id_col])
     e_ids = np.array([r[id_col] for r in erows], dtype=np.int64)
     em = np.array([r[vec_col] for r in erows], dtype=np.float64)
-    en = em / np.maximum(np.linalg.norm(em, axis=1, keepdims=True), 1e-12)
+    e_norm = np.linalg.norm(em, axis=1, keepdims=True)
+    en = em / np.maximum(e_norm, 1e-12)
+    e_zero = (e_norm.ravel() == 0.0)
     sc = vectors.sparkSession.sparkContext
-    be = sc.broadcast((e_ids, en))
+    be = sc.broadcast((e_ids, en, e_zero))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids, emat = be.value
+        ids, emat, ezero = be.value
         for pdf in batches:
             if pdf.empty:
                 continue
             vm = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            vn = vm / np.maximum(np.linalg.norm(vm, axis=1, keepdims=True), 1e-12)
-            r = np.round(vn @ emat.T, 4)  # (batch, n_eval)
+            v_norm = np.linalg.norm(vm, axis=1, keepdims=True)
+            vn = vm / np.maximum(v_norm, 1e-12)
+            raw = vn @ emat.T  # (batch, n_eval)
+            # DuckDB's zero-vector convention: cosine vs a zero vector
+            # (either side) is -1.0, not 0.0
+            raw[v_norm.ravel() == 0.0, :] = -1.0
+            raw[:, ezero] = -1.0
+            r = _round_half_away(raw)
             best = np.argmax(r, axis=1)  # first max == smallest eval id
             mx = r[np.arange(len(r)), best]
             yield pd.DataFrame(

@@ -186,11 +186,13 @@ def test_decontaminate_semantic_matches_numpy_reference(spark):
 
     got = {r["vec_id"]: r for r in decontaminate_semantic(df, ev, 0.4).collect()}
 
+    from nous_spark.operators.dedup import _round_half_away
+
     e_ids = np.array(sorted(i for i in range(60) if i % 7 == 0))
     # reference normalizes from the float32 column values, as the op sees them
     vm32 = vm.astype(np.float32).astype(np.float64)
     vn = vm32 / np.linalg.norm(vm32, axis=1, keepdims=True)
-    r = np.round(vn @ vn[e_ids].T, 4)
+    r = _round_half_away(vn @ vn[e_ids].T)
     for i in range(60):
         best = int(np.argmax(r[i]))
         assert got[i]["max_eval_sim"] == pytest.approx(r[i].max(), abs=0)
@@ -222,3 +224,43 @@ def test_decontaminate_semantic_empty_eval_raises(spark):
     df = spark.createDataFrame([(0, [1.0, 0.0])], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="empty eval set"):
         decontaminate_semantic(df, df.filter("vec_id < 0"))
+
+
+def test_decontaminate_semantic_zero_vectors_match_duckdb_convention(spark):
+    """Zero-norm vectors score exactly -1.0 against everything — DuckDB
+    list_cosine_similarity's convention — on BOTH the training and the
+    eval side, so a regenerated testdata with an all-zero embedding
+    can't silently break oracle parity."""
+    from nous_spark.operators.dedup import decontaminate_semantic
+
+    rows = [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r for r in
+           decontaminate_semantic(df, df, threshold=0.5).collect()}
+    # zero training vector: -1.0 vs every eval member, nearest = smallest id
+    assert got[0]["max_eval_sim"] == -1.0
+    assert got[0]["nearest_eval_id"] == 0 and not got[0]["contaminated"]
+    # nonzero training vectors self-match at 1.0; the zero EVAL member
+    # contributes -1.0, never 0.0
+    assert got[1]["max_eval_sim"] == 1.0 and got[1]["nearest_eval_id"] == 1
+
+
+def test_round_half_away_matches_duckdb(spark):
+    """_round_half_away == DuckDB round(x, 4) on every 4-decimal
+    midpoint in [-1, 1] plus uniform fuzz — the exact boundary where
+    np.round (half-to-even) diverges."""
+    import duckdb
+    import pandas as pd
+
+    from nous_spark.operators.dedup import _round_half_away
+
+    rng = np.random.RandomState(5)
+    xs = np.concatenate(
+        [rng.uniform(-1, 1, 20000), np.arange(-10000, 10001) / 10000.0 + 0.00005]
+    )
+    con = duckdb.connect()
+    con.register("xs_df", pd.DataFrame({"x": xs}))
+    dd = con.sql("SELECT round(x, 4) AS r FROM xs_df").df()["r"].to_numpy()
+    assert (dd == _round_half_away(xs)).all()
+    # and np.round genuinely differs on midpoints (the bug this guards)
+    assert (np.round(xs, 4) != dd).any()
