@@ -37,6 +37,7 @@ from nous_spark.operators.multimodal import image_features, synth_media
 from nous_spark.operators.similarity import batch_cosine_topk, cosine_scores, lsh_ann_topk
 from nous_spark.operators.text import (
     bpe_ish_token_count_col,
+    c4_line_filter_oracle_sql as _c4_line_filter_oracle_sql,
     canonical_url_udf,
     fingerprint_col,
     gopher_rules_oracle_sql as _gopher_rules_oracle_sql,
@@ -1028,6 +1029,31 @@ def _q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_C4_JS_LINE = "Please enable javascript scripts support to view full content."
+_C4_LOREM_LINE = "Full lorem ipsum disclaimer text follows here."
+
+
+def _q_doc_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2): the flat docs
+    text is given deterministic line structure (every ' table ' becomes
+    '.\\n' — plain string replace, identical in DuckDB), every 5th doc
+    gains a javascript boilerplate line (terminal-punctuated and long
+    enough, so ONLY the substring rule drops it) and every 7th doc a
+    'lorem ipsum' line that trips the doc-level gate; min_kept_lines=2
+    keeps the flag mixed on ~2.7-line docs."""
+    from nous_spark.operators.text import c4_line_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.replace(F.col("text"), F.lit(" table "), F.lit(".\n"))
+    t = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(t, F.lit("\n" + _C4_JS_LINE))
+    ).otherwise(t)
+    t = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(t, F.lit("\n" + _C4_LOREM_LINE))
+    ).otherwise(t)
+    return c4_line_filter(docs.select("doc_id", t.alias("text")), min_kept_lines=2)
+
+
 def _q_doc_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SlimPajama-style soft dedup: each exact-duplicate copy survives
     with probability 1/cluster_size via the deterministic md5 draw —
@@ -1330,8 +1356,8 @@ def _q_kg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER CONTRACT: the driver's CORRECTNESS artifact evaluates the
-    # FIRST 50 entries only. All 73 oracled entries precede the 2
-    # rows-only ones; overflow slots 51-73 hold oracled queries with no
+    # FIRST 50 entries only. All 74 oracled entries precede the 2
+    # rows-only ones; overflow slots 51-74 hold oracled queries with no
     # unique SURVEY §2 responsibility (ann_cosine_scores — E1 triple-
     # covered in-window — plus the generic TPC-H/left-join set, green in
     # the r1-r3 driver artifacts, plus doc_curation_pipeline and
@@ -1348,7 +1374,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # broadcast-eval shape, doc_shuffle_shards — the deterministic-layout
     # twin of in-window doc_pack_sequences/doc_stratified_sample,
     # doc_soft_dedup — the downweighting twin of in-window
-    # doc_exact_dedup/doc_quality_weighted_sample),
+    # doc_exact_dedup/doc_quality_weighted_sample, doc_c4_line_filter —
+    # the rule-composite cousin of in-window doc_quality_filter/
+    # doc_dedup_lines over the same line identity),
     # still pytest-gated
     # via test_oracle_parity, which runs ALL entries.
     return {
@@ -1447,6 +1475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_decontaminate_semantic": _q_emb_decontaminate_semantic,
         "doc_shuffle_shards": _q_doc_shuffle_shards,
         "doc_soft_dedup": _q_doc_soft_dedup,
+        "doc_c4_line_filter": _q_doc_c4_line_filter,
         # rows-only (non-SQL-expressible: xxhash64 sketch, Python query
         # embedder)
         "doc_simhash_near_dups": _q_simhash_near_dups,
@@ -2442,6 +2471,19 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id FROM documents WHERE doc_id % 10 != 0) d
             LEFT JOIN hits USING (doc_id)
         """,
+        "doc_c4_line_filter": _c4_line_filter_oracle_sql(
+            source=f"""
+                SELECT doc_id,
+                       replace(text, ' table ', '.' || chr(10))
+                       || CASE WHEN doc_id % 5 = 0
+                               THEN chr(10) || '{_C4_JS_LINE}' ELSE '' END
+                       || CASE WHEN doc_id % 7 = 0
+                               THEN chr(10) || '{_C4_LOREM_LINE}' ELSE '' END
+                         AS text
+                FROM documents
+            """,
+            min_kept_lines=2,
+        ),
         "doc_soft_dedup": """
             WITH c AS (
               SELECT md5(coalesce(text, '')) AS h, count(*) AS n_copies

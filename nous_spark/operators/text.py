@@ -555,6 +555,117 @@ def gopher_rules_oracle_sql(**thresholds: float) -> str:
     """
 
 
+# ---------------------------------------------------------------- C4 line filter
+# The C4 line-cleaning rule tables (Raffel et al. 2020 §2.2) — shared
+# verbatim by the Spark operator and the generated DuckDB oracle, so the
+# two engines cannot drift. Substring matching is lowercase-contains.
+C4_TERMINAL_PUNCT_RE = r'[.!?"]$'
+C4_BAD_LINE_SUBSTRINGS = ("javascript",)
+C4_BAD_DOC_SUBSTRINGS = ("lorem ipsum", "{")
+C4_DEFAULTS = {"min_line_words": 5, "min_kept_lines": 3}
+
+
+def c4_line_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **thresholds: int,
+) -> DataFrame:
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2): keep only lines
+    that end in a terminal punctuation mark (``C4_TERMINAL_PUNCT_RE``),
+    have at least ``min_line_words`` whitespace words, and contain none
+    of ``C4_BAD_LINE_SUBSTRINGS`` (lowercase-contains — the paper's
+    "javascript" rule); rebuild the document from the survivors
+    (newline-joined). The DOC-level gate then keeps a page iff it
+    retains at least ``min_kept_lines`` lines and its ORIGINAL text
+    contains none of ``C4_BAD_DOC_SUBSTRINGS`` (the paper's
+    "lorem ipsum" / curly-brace rules). Returns
+    (id, clean_text, n_lines, n_kept_lines, keep).
+
+    Lines are ``lines_arr_col`` — the ONE line identity rule shared
+    with dedup_lines_corpus / repetition_signals, so C4 cleaning and C4
+    dedup always agree on what a line is. NULL text coalesces to ''
+    (0 lines, keep=false). Thresholds default to the paper's values;
+    unknown keys raise.
+
+    Scale: a stateless single-pass Column projection — zero exchanges,
+    zero Python workers, whole-stage codegen; composes with streaming
+    ingest like pii_scrub/gopher_rules. Reference has no analog
+    (builder-brief pretraining-curation extension).
+    """
+    unknown = set(thresholds) - set(C4_DEFAULTS)
+    if unknown:
+        raise ValueError(f"unknown c4 thresholds: {sorted(unknown)}")
+    th = {**C4_DEFAULTS, **thresholds}
+
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lines = lines_arr_col(text)
+
+    def line_ok(ln):
+        cond = ln.rlike(C4_TERMINAL_PUNCT_RE) & (
+            F.size(F.split(ln, r"\s+")) >= th["min_line_words"]
+        )
+        for s in C4_BAD_LINE_SUBSTRINGS:
+            cond = cond & ~F.contains(F.lower(ln), F.lit(s))
+        return cond
+
+    kept = F.filter(lines, lambda ln: line_ok(ln))
+    doc_ok = F.size(kept) >= th["min_kept_lines"]
+    for s in C4_BAD_DOC_SUBSTRINGS:
+        doc_ok = doc_ok & ~F.contains(F.lower(text), F.lit(s))
+    return docs.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias("clean_text"),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept_lines"),
+        doc_ok.alias("keep"),
+    )
+
+
+def c4_line_filter_oracle_sql(
+    source: str = "SELECT doc_id, text FROM documents",
+    **thresholds: int,
+) -> str:
+    """The DuckDB mirror of ``c4_line_filter``, GENERATED from the same
+    rule tables and threshold overrides the Spark query uses. ``source``
+    is the (doc_id, text) relation — driver queries that inject line
+    structure pass the same transformed SELECT both engines run."""
+    unknown = set(thresholds) - set(C4_DEFAULTS)
+    if unknown:
+        raise ValueError(f"unknown c4 thresholds: {sorted(unknown)}")
+    th = {**C4_DEFAULTS, **thresholds}
+    bad_line = "".join(
+        f" AND NOT contains(lower(l), '{s}')" for s in C4_BAD_LINE_SUBSTRINGS
+    )
+    bad_doc = "".join(
+        f" AND NOT contains(lower(text), '{s}')" for s in C4_BAD_DOC_SUBSTRINGS
+    )
+    return f"""
+        WITH base AS (
+          SELECT doc_id, coalesce(text, '') AS text FROM ({source})
+        ), feat AS (
+          SELECT doc_id, text,
+            list_filter(list_transform(string_split(text, chr(10)),
+                                       l -> trim(l)), l -> l != '') AS lines
+          FROM base
+        ), sig AS (
+          SELECT doc_id, text, lines,
+            list_filter(lines, l ->
+              regexp_matches(l, '{C4_TERMINAL_PUNCT_RE}')
+              AND len(regexp_split_to_array(l, '\\s+'))
+                    >= {th["min_line_words"]}{bad_line}) AS kept
+          FROM feat
+        )
+        SELECT doc_id,
+               -- DuckDB array_to_string([]) is NULL; Spark array_join is ''
+               coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+               len(lines) AS n_lines,
+               len(kept) AS n_kept_lines,
+               (len(kept) >= {th["min_kept_lines"]}{bad_doc}) AS keep
+        FROM sig
+    """
+
+
 # ---------------------------------------------------------------- tf-idf
 def tfidf_topk_terms(
     docs: DataFrame,

@@ -472,3 +472,65 @@ def test_dsir_scores_null_and_termless_docs(spark):
         assert out[i]["avg_log_ratio"] is None
     assert out[4]["n_terms"] == 3  # alpha, beta, alpha_beta
     assert out[4]["avg_log_ratio"] is not None
+
+
+def test_c4_line_filter_rules(spark):
+    """Pin each C4 cleaning rule (Raffel et al. 2020 §2.2): terminal
+    punctuation, min line words, javascript substring, doc-level lorem
+    ipsum / brace / min-kept-lines gates, NULL text."""
+    from nous_spark.operators.text import c4_line_filter
+
+    rows = [
+        (0, 'Good line with five words here.\nshort line.\nno terminal punct line at all\n'
+            'Please enable javascript to view this site today.\nAnother good long line ends here!'),
+        (1, "One good line with enough words here."),          # < min_kept_lines
+        (2, "Nice long sentence here with lorem ipsum inside it."),  # doc gate
+        (3, "A config snippet { with braces } spanning enough words."),  # doc gate
+        (4, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           c4_line_filter(docs, min_line_words=5, min_kept_lines=2).collect()}
+
+    assert got[0]["clean_text"] == (
+        "Good line with five words here.\nAnother good long line ends here!"
+    )
+    assert got[0]["n_lines"] == 5 and got[0]["n_kept_lines"] == 2 and got[0]["keep"]
+    assert got[1]["n_kept_lines"] == 1 and not got[1]["keep"]  # below min_kept_lines
+    assert got[2]["n_kept_lines"] == 1 and not got[2]["keep"]  # lorem ipsum gate
+    assert not got[3]["keep"]                                   # brace gate
+    assert got[4] and got[4]["clean_text"] == "" and got[4]["n_lines"] == 0 \
+        and not got[4]["keep"]                                  # NULL text
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown c4"):
+        c4_line_filter(docs, bogus=1)
+
+
+def test_c4_line_filter_composes_with_streaming(spark, tmp_path):
+    """c4_line_filter is a stateless Column projection, so it runs
+    unchanged on a readStream frame — line cleaning at ingest time.
+    Stream == batch."""
+    from nous_spark.operators.text import c4_line_filter
+
+    docs = spark.createDataFrame(
+        [(i, f"Line number {i} has enough words right here.\nshort.\n"
+             f"Second proper line number {i} also ends well.") for i in range(20)],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "c4_src")
+    docs.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        c4_line_filter(stream, min_kept_lines=2)
+        .writeStream.format("memory")
+        .queryName("c4_stream_q")
+        .option("checkpointLocation", str(tmp_path / "cp_c4"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("select * from c4_stream_q").collect()}
+    want = {tuple(r) for r in c4_line_filter(docs, min_kept_lines=2).collect()}
+    assert got == want and len(want) == 20
