@@ -39,6 +39,7 @@ from nous_spark.operators.text import (
     bpe_ish_token_count_col,
     c4_line_filter_oracle_sql as _c4_line_filter_oracle_sql,
     canonical_url_udf,
+    domain_blocklist_oracle_sql as _domain_blocklist_oracle_sql,
     fingerprint_col,
     gopher_rules_oracle_sql as _gopher_rules_oracle_sql,
     lang_id_col,
@@ -1029,6 +1030,38 @@ def _q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DOMAIN_BLOCKLIST = ("src3.com", "src7.co.uk", "src5.org", "src12.com")
+
+
+def _q_doc_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb/Dolma-style URL domain gate: deterministic synthetic
+    URLs (subdomain by doc_id%4, TLD by %3 incl. a co.uk ccSLD, port on
+    %5==0) so host/registrable-domain extraction and the blocklist flag
+    are all exercised; the oracle builds the same URLs in SQL."""
+    from nous_spark.operators.text import domain_blocklist_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    sub = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("www."))
+        .when(F.col("doc_id") % 4 == 1, F.lit("cdn."))
+        .when(F.col("doc_id") % 4 == 2, F.lit("ads."))
+        .otherwise(F.lit(""))
+    )
+    tld = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(".com"))
+        .when(F.col("doc_id") % 3 == 1, F.lit(".co.uk"))
+        .otherwise(F.lit(".org"))
+    )
+    port = F.when(F.col("doc_id") % 5 == 0, F.lit(":8080")).otherwise(F.lit(""))
+    url = F.concat(
+        F.lit("https://"), sub, F.col("source"), tld, port,
+        F.lit("/page/"), F.col("doc_id").cast("string"),
+    )
+    return domain_blocklist_filter(
+        docs.select("doc_id", url.alias("url")), _DOMAIN_BLOCKLIST
+    )
+
+
 _C4_JS_LINE = "Please enable javascript scripts support to view full content."
 _C4_LOREM_LINE = "Full lorem ipsum disclaimer text follows here."
 
@@ -1356,8 +1389,8 @@ def _q_kg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER CONTRACT: the driver's CORRECTNESS artifact evaluates the
-    # FIRST 50 entries only. All 74 oracled entries precede the 2
-    # rows-only ones; overflow slots 51-74 hold oracled queries with no
+    # FIRST 50 entries only. All 75 oracled entries precede the 2
+    # rows-only ones; overflow slots 51-75 hold oracled queries with no
     # unique SURVEY §2 responsibility (ann_cosine_scores — E1 triple-
     # covered in-window — plus the generic TPC-H/left-join set, green in
     # the r1-r3 driver artifacts, plus doc_curation_pipeline and
@@ -1376,7 +1409,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # doc_soft_dedup — the downweighting twin of in-window
     # doc_exact_dedup/doc_quality_weighted_sample, doc_c4_line_filter —
     # the rule-composite cousin of in-window doc_quality_filter/
-    # doc_dedup_lines over the same line identity),
+    # doc_dedup_lines over the same line identity, doc_domain_filter —
+    # the URL-gate cousin of in-window doc_canonical_urls),
     # still pytest-gated
     # via test_oracle_parity, which runs ALL entries.
     return {
@@ -1476,6 +1510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_shuffle_shards": _q_doc_shuffle_shards,
         "doc_soft_dedup": _q_doc_soft_dedup,
         "doc_c4_line_filter": _q_doc_c4_line_filter,
+        "doc_domain_filter": _q_doc_domain_filter,
         # rows-only (non-SQL-expressible: xxhash64 sketch, Python query
         # embedder)
         "doc_simhash_near_dups": _q_simhash_near_dups,
@@ -2471,6 +2506,21 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id FROM documents WHERE doc_id % 10 != 0) d
             LEFT JOIN hits USING (doc_id)
         """,
+        "doc_domain_filter": _domain_blocklist_oracle_sql(
+            _DOMAIN_BLOCKLIST,
+            source="""
+                SELECT doc_id,
+                  'https://'
+                  || CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'www.'
+                          WHEN 1 THEN 'cdn.' WHEN 2 THEN 'ads.' ELSE '' END
+                  || source
+                  || CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN '.com'
+                          WHEN 1 THEN '.co.uk' ELSE '.org' END
+                  || CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END
+                  || '/page/' || doc_id AS url
+                FROM documents
+            """,
+        ),
         "doc_c4_line_filter": _c4_line_filter_oracle_sql(
             source=f"""
                 SELECT doc_id,

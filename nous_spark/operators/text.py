@@ -139,6 +139,126 @@ def canonical_url_udf(url: pd.Series) -> pd.Series:
     return url.map(canonical_url)
 
 
+# ---------------------------------------------------------------- URL domain gate
+# Country-code second-level suffixes where the registrable domain is the
+# LAST THREE dot-labels (bbc.co.uk, not co.uk) — the minimal public-suffix
+# table a crawl gate needs; shared verbatim with the generated oracle.
+URL_CC_SLDS = ("co.uk", "ac.uk", "co.jp", "com.au", "com.br")
+_URL_HOST_RE = r"^[a-z][a-zA-Z0-9+.\-]*://([^/?#]+)"
+
+
+def url_host_col(url: Column) -> Column:
+    """Lowercased host of a URL: the authority component minus userinfo
+    and port. No scheme -> '' (regexp_extract's no-match value in BOTH
+    Spark and DuckDB)."""
+    h = F.lower(F.regexp_extract(url, _URL_HOST_RE, 1))
+    h = F.regexp_replace(h, r"^[^@]*@", "")
+    return F.regexp_replace(h, r":[0-9]+$", "")
+
+
+def url_registrable_domain_col(host: Column) -> Column:
+    """Registrable domain of a host: last two dot-labels, or last THREE
+    when the last two are a ``URL_CC_SLDS`` suffix (bbc.co.uk). Hosts
+    with a single label (localhost, '') pass through unchanged."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(
+        ".", F.element_at(labels, -2), F.element_at(labels, -1)
+    )
+    last3 = F.concat_ws(
+        ".",
+        F.element_at(labels, -3),
+        F.element_at(labels, -2),
+        F.element_at(labels, -1),
+    )
+    return (
+        F.when((n >= 3) & last2.isin(*URL_CC_SLDS), last3)
+        .when(n >= 2, last2)
+        .otherwise(host)
+    )
+
+
+def domain_blocklist_filter(
+    docs: DataFrame,
+    blocklist,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RefinedWeb/Dolma-style URL domain gate — the first filter of a
+    web-crawl pipeline: extract the host and registrable domain from
+    each document's URL and flag documents whose registrable domain is
+    blocklisted. Returns (id, host, domain, blocked); callers filter
+    ``~blocked``.
+
+    ``blocklist`` is either a small sequence of domain strings (becomes
+    a codegen'd ``isin`` — zero exchanges, streams like pii_scrub) or a
+    (domain) DataFrame for real-world 100k+-entry lists (broadcast to
+    every executor, left join + null test — still one narrow pass over
+    the corpus; adult/malware blocklists are MBs against 100 TB).
+
+    Host/domain rules are shared with the generated DuckDB oracle
+    (``domain_blocklist_oracle_sql``): scheme-anchored authority regex,
+    userinfo/port strip, lowercase, last-2-labels registrable domain
+    with the ``URL_CC_SLDS`` last-3 exception.
+    """
+    host = url_host_col(F.col(url_col))
+    base = docs.select(
+        F.col(id_col),
+        host.alias("host"),
+    ).withColumn("domain", url_registrable_domain_col(F.col("host")))
+    if isinstance(blocklist, DataFrame):
+        bl = F.broadcast(
+            blocklist.select(F.col("domain").alias("_bl_domain")).distinct()
+        )
+        return (
+            base.join(bl, base["domain"] == bl["_bl_domain"], "left")
+            .select(
+                id_col,
+                "host",
+                "domain",
+                F.col("_bl_domain").isNotNull().alias("blocked"),
+            )
+        )
+    return base.select(
+        id_col,
+        "host",
+        "domain",
+        F.col("domain").isin(*[str(s) for s in blocklist]).alias("blocked"),
+    )
+
+
+def domain_blocklist_oracle_sql(
+    blocklist,
+    source: str = "SELECT doc_id, url FROM documents",
+) -> str:
+    """DuckDB mirror of ``domain_blocklist_filter`` (literal-list
+    variant), GENERATED from the same ``URL_CC_SLDS``/regex tables.
+    ``source`` is the (doc_id, url) relation."""
+    slds = ", ".join(f"'{s}'" for s in URL_CC_SLDS)
+    bl = ", ".join(f"'{s}'" for s in blocklist)
+    return f"""
+        WITH h AS (
+          SELECT doc_id,
+            regexp_replace(regexp_replace(
+              lower(regexp_extract(url, '{_URL_HOST_RE}', 1)),
+              '^[^@]*@', ''), ':[0-9]+$', '') AS host
+          FROM ({source})
+        ), lab AS (
+          SELECT doc_id, host, string_split(host, '.') AS l FROM h
+        )
+        SELECT doc_id, host,
+          CASE WHEN len(l) >= 3 AND (l[-2] || '.' || l[-1]) IN ({slds})
+                 THEN l[-3] || '.' || l[-2] || '.' || l[-1]
+               WHEN len(l) >= 2 THEN l[-2] || '.' || l[-1]
+               ELSE host END AS domain,
+          (CASE WHEN len(l) >= 3 AND (l[-2] || '.' || l[-1]) IN ({slds})
+                  THEN l[-3] || '.' || l[-2] || '.' || l[-1]
+                WHEN len(l) >= 2 THEN l[-2] || '.' || l[-1]
+                ELSE host END) IN ({bl}) AS blocked
+        FROM lab
+    """
+
+
 # ---------------------------------------------------------------- lang id
 _LANG_STOPWORDS = {
     "en": {"the", "and", "of", "to", "in", "is", "that", "it", "was", "for", "on", "with", "as", "at"},

@@ -534,3 +534,61 @@ def test_c4_line_filter_composes_with_streaming(spark, tmp_path):
     got = {tuple(r) for r in spark.sql("select * from c4_stream_q").collect()}
     want = {tuple(r) for r in c4_line_filter(docs, min_kept_lines=2).collect()}
     assert got == want and len(want) == 20
+
+
+def test_domain_blocklist_filter_edges_and_df_variant(spark):
+    """Host/registrable-domain extraction edges (userinfo, port, mixed
+    case, ccSLD, single label, no scheme) + the broadcast-DataFrame
+    blocklist variant agrees with the literal-list variant."""
+    from nous_spark.operators.text import domain_blocklist_filter
+
+    rows = [
+        (0, "https://user:pw@WWW.News.Example.COM:8443/a?b#c"),
+        (1, "http://bbc.CO.UK/story"),
+        (2, "https://sub.deep.bbc.co.uk:80/x"),
+        (3, "ftp://localhost/file"),
+        (4, "not a url at all"),
+        (5, "https://ads.tracker.org/pixel"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string")
+    bl = ["bbc.co.uk", "tracker.org"]
+    got = {r["doc_id"]: (r["host"], r["domain"], r["blocked"])
+           for r in domain_blocklist_filter(docs, bl).collect()}
+    assert got[0] == ("www.news.example.com", "example.com", False)
+    assert got[1] == ("bbc.co.uk", "bbc.co.uk", True)
+    assert got[2] == ("sub.deep.bbc.co.uk", "bbc.co.uk", True)
+    assert got[3] == ("localhost", "localhost", False)
+    assert got[4] == ("", "", False)
+    assert got[5] == ("ads.tracker.org", "tracker.org", True)
+
+    bl_df = spark.createDataFrame([(d,) for d in bl], "domain string")
+    got_df = {r["doc_id"]: (r["host"], r["domain"], r["blocked"])
+              for r in domain_blocklist_filter(docs, bl_df).collect()}
+    assert got_df == got
+
+
+def test_domain_blocklist_filter_composes_with_streaming(spark, tmp_path):
+    """The literal-list variant is a stateless Column projection — URL
+    gating at ingest time. Stream == batch."""
+    from nous_spark.operators.text import domain_blocklist_filter
+
+    docs = spark.createDataFrame(
+        [(i, f"https://site{i % 4}.org/p/{i}") for i in range(24)],
+        "doc_id long, url string",
+    )
+    src = str(tmp_path / "url_src")
+    docs.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("doc_id long, url string").parquet(src)
+    q = (
+        domain_blocklist_filter(stream, ["site2.org"])
+        .writeStream.format("memory")
+        .queryName("dom_stream_q")
+        .option("checkpointLocation", str(tmp_path / "cp_dom"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("select * from dom_stream_q").collect()}
+    want = {tuple(r) for r in domain_blocklist_filter(docs, ["site2.org"]).collect()}
+    assert got == want and sum(1 for r in want if r[3]) == 6
