@@ -1106,6 +1106,34 @@ def _q_doc_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shuffle_to_shards(_t(spark, sf_dir, "documents"), n_shards=8)
 
 
+def _q_kg_entity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the HAS_FACT subgraph (entity ->
+    fact importance): 3 power iterations, damping 0.85, dangling mass
+    redistributed uniformly; ranks normalized to sum to |V| and rounded
+    to 4 (the cross-engine double-math convention). Oracle is the
+    generated unrolled-CTE mirror sharing the same constants."""
+    from nous_spark.graph import pagerank
+
+    edges = (
+        tpch_edges(spark, sf_dir)
+        .filter(F.col("edge_type") == "HAS_FACT")
+        .select("src", "dst")
+    )
+    pr = pagerank(edges, iterations=3, damping=0.85)
+    return pr.select("node", F.round("rank", 4).alias("rank"))
+
+
+def _q_doc_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window token chunking (training/RAG example prep): 24-token
+    windows at stride 16 (8-token overlap), 0-based chunk ids, short
+    final window kept — a stateless zero-exchange posexplode."""
+    from nous_spark.operators.curation import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), max_tokens=24, stride=16
+    )
+
+
 def _q_emb_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space decontamination: vectors with vec_id % 17 == 0
     stand in for the eval benchmark; every training vector reports its
@@ -1389,8 +1417,8 @@ def _q_kg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER CONTRACT: the driver's CORRECTNESS artifact evaluates the
-    # FIRST 50 entries only. All 75 oracled entries precede the 2
-    # rows-only ones; overflow slots 51-75 hold oracled queries with no
+    # FIRST 50 entries only. All 77 oracled entries precede the 2
+    # rows-only ones; overflow slots 51-77 hold oracled queries with no
     # unique SURVEY §2 responsibility (ann_cosine_scores — E1 triple-
     # covered in-window — plus the generic TPC-H/left-join set, green in
     # the r1-r3 driver artifacts, plus doc_curation_pipeline and
@@ -1511,6 +1539,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_soft_dedup": _q_doc_soft_dedup,
         "doc_c4_line_filter": _q_doc_c4_line_filter,
         "doc_domain_filter": _q_doc_domain_filter,
+        # session-5 depth additions: kg_entity_pagerank — graph-
+        # analytics extension whose join/agg shapes (C4 fan-in, D2
+        # refcount) are in-window via kg_fact_refcount/kg_expand_hops;
+        # doc_chunk_split — the windowing twin of in-window
+        # doc_pack_sequences over the same tokenizer
+        "kg_entity_pagerank": _q_kg_entity_pagerank,
+        "doc_chunk_split": _q_doc_chunk_split,
         # rows-only (non-SQL-expressible: xxhash64 sketch, Python query
         # embedder)
         "doc_simhash_near_dups": _q_simhash_near_dups,
@@ -2294,8 +2329,18 @@ def _build_pii_scrub_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from nous_spark.graph import pagerank_oracle_sql
+    from nous_spark.operators.curation import chunk_oracle_sql
+
     edges_cte = f"WITH edges AS ({EDGES_SQL})"
     return {
+        "kg_entity_pagerank": pagerank_oracle_sql(
+            f"SELECT src, dst FROM ({EDGES_SQL}) WHERE edge_type = 'HAS_FACT'",
+            iterations=3,
+            damping=0.85,
+            round_to=4,
+        ),
+        "doc_chunk_split": chunk_oracle_sql(max_tokens=24, stride=16),
         "kg_recall_lookup": f"""
             {edges_cte}
             SELECT e.src AS entity_id, hf.pred AS pred, hf.dst AS fact_id,

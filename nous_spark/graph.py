@@ -590,3 +590,137 @@ def remove_fact_from_entity(
         [(entity_id, fid)], "entity_id string, fact_id string"
     )
     return remove_facts_from_entities(tables, rm)
+
+
+# --------------------------------------------------------------------------
+# entity importance: fixed-iteration PageRank (graph-analytics extension)
+# --------------------------------------------------------------------------
+def pagerank(
+    edges: DataFrame, iterations: int = 3, damping: float = 0.85
+) -> DataFrame:
+    """Fixed-iteration PageRank over a (src, dst) edge list — entity/fact
+    importance for the KG (rank hot facts, prioritize recall candidates,
+    weight dedup survivors). The reference exposes no graph analytics;
+    this is an engine extension, but it is THE canonical iterative
+    algorithm a KG store is asked for first, and it exercises the
+    Pregel-on-DataFrame shape the engine needs for any fixpoint op.
+
+    Semantics (power iteration, ranks normalized to sum to |V| so the
+    all-ones start vector is the stationary scale):
+
+        r_0(v)     = 1.0
+        r_{k+1}(v) = (1 - d) + d * (sum_{u->v} r_k(u) / outdeg(u)
+                                    + dangling_k / |V|)
+
+    where ``dangling_k`` is the total rank parked on nodes with no
+    out-edges (redistributed uniformly — the standard dangling-node
+    fix, Page et al. 1999 §2.6). Multi-edges contribute once per edge
+    (outdeg counts them symmetrically, so a doubled edge doubles both
+    the numerator occurrences and the denominator). ``iterations`` is a
+    small request parameter (driver loop, like ``expand_hops``), never
+    data-sized.
+
+    Scale shape: the edge->outdeg weight table is built and persisted
+    ONCE and re-read every iteration (at 10^10 edges this is the big
+    asset — it stays hash-partitioned by src across iterations, so each
+    iteration pays one shuffle of the |V|-row rank frame onto src plus
+    one map-side-combinable sum onto dst; the dangling mass and |V| are
+    1-row aggregates broadcast back, never a driver collect). Each
+    iteration's rank frame is localCheckpointed — eager, so lineage
+    stays O(1) across iterations instead of O(k) and the caches this
+    operator created can be unpersisted before returning (the repo's
+    eager-return discipline).
+
+    Float caveat (shared with the cosine operators): rank sums are
+    order-dependent double math; callers comparing cross-engine round
+    to <= 4 decimals, and the generated oracle (`pagerank_oracle_sql`)
+    carries the exact same iteration arithmetic with
+    string-cast-to-DOUBLE constants so the only divergence source is
+    summation order (~1e-13 relative at 10^3-fan-in).
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = edges.select("src", "dst")
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    od = e.groupBy("src").agg(F.count("*").alias("odeg")).persist()
+    weights = e.join(od, "src").select("src", "dst", "odeg").persist()
+    n1 = nodes.agg(F.count("*").alias("n"))
+    one_minus_d = F.lit(1.0 - damping)
+    d = F.lit(float(damping))
+    ranks = nodes.select("node", F.lit(1.0).alias("rank"))
+    for _ in range(iterations):
+        dang = ranks.join(od, ranks["node"] == od["src"], "left_anti").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang")
+        )
+        contrib = (
+            weights.join(ranks, weights["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("odeg")).alias("c"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(dang))
+            .crossJoin(F.broadcast(n1))
+            .select(
+                "node",
+                (
+                    one_minus_d
+                    + d
+                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("dang") / F.col("n"))
+                ).alias("rank"),
+            )
+        )
+        ranks = ranks.localCheckpoint()
+    weights.unpersist()
+    od.unpersist()
+    nodes.unpersist()
+    return ranks
+
+
+def pagerank_oracle_sql(
+    edges_sql: str, iterations: int = 3, damping: float = 0.85, round_to: int = 4
+) -> str:
+    """DuckDB mirror of ``pagerank``, GENERATED by unrolling the same
+    iteration count and damping constants (the repo's shared-table
+    oracle convention: edit the operator's parameters, never the SQL).
+    Constants go through CAST('repr' AS DOUBLE) so DuckDB parses the
+    exact Python double (a bare 0.85 literal would be DECIMAL and
+    differ by one ulp after 1 - d). ``edges_sql`` is the (src, dst)
+    relation."""
+    omd = repr(1.0 - damping)
+    dd = repr(float(damping))
+    ctes = [
+        f"e AS ({edges_sql})",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "od AS (SELECT src, count(*) AS odeg FROM e GROUP BY src)",
+        "r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes)",
+    ]
+    for k in range(iterations):
+        ctes.append(
+            f"d{k} AS (SELECT coalesce(sum(rank), 0.0) AS dang "
+            f"FROM r{k} LEFT JOIN od ON node = src WHERE odeg IS NULL)"
+        )
+        ctes.append(
+            f"c{k} AS (SELECT e.dst AS node, sum(r.rank / o.odeg) AS c "
+            f"FROM e JOIN r{k} r ON e.src = r.node "
+            f"JOIN od o ON e.src = o.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{k + 1} AS (SELECT n.node, "
+            f"CAST('{omd}' AS DOUBLE) + CAST('{dd}' AS DOUBLE) * "
+            f"(coalesce(c.c, 0.0) + d{k}.dang / nn.n) AS rank "
+            f"FROM nodes n LEFT JOIN c{k} c USING (node) "
+            f"CROSS JOIN d{k} CROSS JOIN nn)"
+        )
+    return (
+        "WITH "
+        + ",\n             ".join(ctes)
+        + f"\n        SELECT node, round(rank, {round_to}) AS rank"
+        + f" FROM r{iterations}"
+    )

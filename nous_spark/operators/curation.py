@@ -504,3 +504,90 @@ def quantile_buckets(
         .withColumn("bucket", bucket)
         .select(*out_cols, "bucket")
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    max_tokens: int = 24,
+    stride: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed-window token chunking — the example-preparation step that
+    turns variable-length documents into bounded training/RAG chunks:
+    window k covers whitespace tokens [1 + k*stride, 1 + k*stride +
+    max_tokens) of the doc, so consecutive chunks overlap by
+    ``max_tokens - stride`` tokens (stride == max_tokens gives an exact
+    disjoint partition of the token list; stride < max_tokens gives the
+    sliding-context overlap RAG retrievers want). One window starts at
+    every 1 + k*stride <= n_tokens, so every token is covered and the
+    final chunk may be short. Whitespace-only/NULL docs emit no chunks.
+
+    Returns (id, chunk_id, n_tokens, chunk_text): chunk_id is the
+    0-based window index k, n_tokens the actual token count of the
+    (possibly short) final window, chunk_text the space-joined tokens
+    (whitespace runs canonicalize to single spaces — ``token_count_col``'s
+    tokenizer, hardened with a \\s-trim so tab/newline edges never yield
+    empty tokens).
+
+    Scale: stateless narrow projection + one posexplode — zero
+    exchanges, streams, and the per-doc fan-out is bounded by
+    n_tokens / stride (no hot key to cap: a pathological 10^9-token doc
+    is a length-filter problem upstream, not a chunker problem).
+    Mirrored exactly by the generated ``chunk_oracle_sql``.
+    """
+    if max_tokens < 1 or stride < 1:
+        raise ValueError("max_tokens and stride must be >= 1")
+    # \s-trim, not F.trim: trim() strips only 0x20, so a doc of "\n\t"
+    # (or a leading tab) would survive the emptiness filter / emit a
+    # spurious empty first token after the \s+ split.
+    stripped = F.regexp_replace(
+        F.coalesce(F.col(text_col), F.lit("")), r"^\s+|\s+$", ""
+    )
+    d = docs.filter(stripped != "").select(
+        F.col(id_col), F.split(stripped, r"\s+").alias("_ws")
+    )
+    starts = F.sequence(F.lit(1), F.size("_ws"), F.lit(stride))
+    d = d.select(id_col, "_ws", F.posexplode(starts).alias("_k", "_start"))
+    return d.select(
+        id_col,
+        F.col("_k").cast("long").alias("chunk_id"),
+        F.least(F.lit(max_tokens), F.size("_ws") - F.col("_start") + 1)
+        .cast("long")
+        .alias("n_tokens"),
+        F.array_join(F.slice("_ws", F.col("_start"), max_tokens), " ").alias(
+            "chunk_text"
+        ),
+    )
+
+
+def chunk_oracle_sql(
+    max_tokens: int = 24,
+    stride: int = 16,
+    source: str = "SELECT doc_id, text FROM documents",
+) -> str:
+    """DuckDB mirror of ``chunk_documents``, GENERATED from the same
+    window parameters. ``range(1, len+1, stride)`` is exclusive-stop, so
+    start positions match Spark's inclusive ``sequence(1, n, stride)``;
+    ``//`` is DuckDB's integer division (bare ``/`` would be DOUBLE);
+    list slicing is 1-based inclusive and clamps at the end like
+    ``F.slice``; the \\s-regexp trim (not trim(), which strips only
+    0x20) mirrors the Spark side exactly."""
+    return f"""
+        WITH stripped AS (
+          SELECT doc_id,
+                 regexp_replace(coalesce(text, ''), '^\\s+|\\s+$', '', 'g')
+                   AS st
+          FROM ({source})
+        ),
+        tok AS (
+          SELECT doc_id, regexp_split_to_array(st, '\\s+') AS ws
+          FROM stripped WHERE st != ''
+        )
+        SELECT doc_id,
+               CAST((s - 1) // {stride} AS BIGINT) AS chunk_id,
+               CAST(least({max_tokens}, len(ws) - s + 1) AS BIGINT) AS n_tokens,
+               coalesce(array_to_string(ws[s:s + {max_tokens} - 1], ' '), '')
+                 AS chunk_text
+        FROM tok, UNNEST(range(1, len(ws) + 1, {stride})) AS t(s)
+    """

@@ -4,6 +4,8 @@ semantic invariants)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from nous_spark.operators.curation import (
@@ -393,3 +395,103 @@ def test_soft_dedup_matches_python_reference_and_downweights(spark):
     re = {r["doc_id"]: (r["n_copies"], r["keep"])
           for r in soft_dedup(docs.repartition(11), seed=42).collect()}
     assert re == got
+
+
+# ---------------------------------------------------------------------------
+# chunk_documents: fixed-window token chunking
+# ---------------------------------------------------------------------------
+def _py_chunks(text, max_tokens, stride):
+    """Pure-Python reference: re.split to match Java/Spark \\s semantics
+    (Python str.split() also breaks on NBSP/\\x1c-\\x1f, which Java \\s
+    does not — test texts stay ASCII-whitespace so both agree)."""
+    import re
+
+    toks = [t for t in re.split(r"\s+", text.strip()) if t]
+    return [
+        (k, min(max_tokens, len(toks) - s), " ".join(toks[s : s + max_tokens]))
+        for k, s in enumerate(range(0, len(toks), stride))
+    ]
+
+
+def _run_chunks(spark, rows, max_tokens, stride):
+    from nous_spark.operators.curation import chunk_documents
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(docs, max_tokens=max_tokens, stride=stride)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["n_tokens"], r["chunk_text"])
+        )
+    return {k: sorted(v) for k, v in got.items()}
+
+
+CHUNK_DOCS = [
+    (1, "one two three four five six seven"),  # short tail window
+    (2, "  padded \t with\n\nmixed   whitespace runs here  "),
+    (3, "a b c d"),  # == max_tokens for the (4, 4) case
+    (4, "solo"),
+    (5, " ".join(f"w{i}" for i in range(23))),  # just under a boundary
+    (6, " ".join(f"w{i}" for i in range(24))),  # exactly a boundary
+    (7, "\tleading tab and trailing newline\n"),  # non-space \s edges
+]
+
+
+@pytest.mark.parametrize("max_tokens,stride", [(4, 4), (4, 2), (24, 16), (5, 3)])
+def test_chunk_documents_matches_python_reference(spark, max_tokens, stride):
+    got = _run_chunks(spark, CHUNK_DOCS, max_tokens, stride)
+    for doc_id, text in CHUNK_DOCS:
+        assert got.get(doc_id, []) == _py_chunks(text, max_tokens, stride), doc_id
+
+
+def test_chunk_documents_disjoint_partition_when_stride_equals_max(spark):
+    # stride == max_tokens: chunks tile the token list exactly — the
+    # rejoined chunk_texts reproduce the canonicalized document and
+    # n_tokens sums to the token count.
+    got = _run_chunks(spark, CHUNK_DOCS, 4, 4)
+    for doc_id, text in CHUNK_DOCS:
+        toks = text.split()
+        chunks = got[doc_id]
+        assert " ".join(c[2] for c in chunks) == " ".join(toks)
+        assert sum(c[1] for c in chunks) == len(toks)
+
+
+def test_chunk_documents_overlap_invariant(spark):
+    # stride < max_tokens: chunk k's tail (max - stride tokens) equals
+    # chunk k+1's head whenever chunk k is full.
+    max_tokens, stride = 6, 4
+    got = _run_chunks(spark, CHUNK_DOCS, max_tokens, stride)
+    for chunks in got.values():
+        for (_, n1, t1), (_, _, t2) in zip(chunks, chunks[1:]):
+            if n1 == max_tokens:
+                tail = t1.split()[stride:]  # the max - stride overlap tokens
+                assert t2.split()[: len(tail)] == tail
+
+
+def test_chunk_documents_skips_empty_and_null(spark):
+    from nous_spark.operators.curation import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   \n\t  "), (4, "kept")],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(docs, max_tokens=4, stride=4).collect()
+    assert [(r["doc_id"], r["chunk_text"]) for r in rows] == [(4, "kept")]
+
+
+def test_chunk_documents_rejects_bad_params(spark):
+    from nous_spark.operators.curation import chunk_documents
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(docs, max_tokens=0, stride=4)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, max_tokens=4, stride=0)
+
+
+def test_chunk_documents_chunk_count_formula(spark):
+    # one window starts at every 1 + k*stride <= n  =>  floor((n-1)/stride)+1
+    got = _run_chunks(spark, CHUNK_DOCS, 5, 3)
+    for doc_id, text in CHUNK_DOCS:
+        n = len(text.split())
+        assert len(got[doc_id]) == (n - 1) // 3 + 1, doc_id
