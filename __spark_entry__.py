@@ -42,6 +42,7 @@ from nous_spark.operators.text import (
     domain_blocklist_oracle_sql as _domain_blocklist_oracle_sql,
     fingerprint_col,
     gopher_rules_oracle_sql as _gopher_rules_oracle_sql,
+    html_extract_oracle_sql as _html_extract_oracle_sql,
     lang_id_col,
     quality_columns,
     quality_score_cols,
@@ -1134,6 +1135,71 @@ def _q_doc_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HTML_SCRIPT = (
+    '<script type="text/javascript">if (1 < 2 && 2 > 1)'
+    ' { var x = "</div>"; }</script>'
+)
+_HTML_TAIL = (
+    '</p><br/><div class="footer">footer&nbsp;&lt;end&gt;</div>'
+    "<!-- hidden\ncomment --></body></HTML>"
+)
+
+
+def _q_doc_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML-to-text extraction over deterministically synthesized pages:
+    each document is wrapped in a full HTML shell (title/style/script
+    head, uppercase close tag, a script whose BODY contains a fake
+    </div>, entities incl. the double-encoded &amp;lt;, a multi-line
+    comment) and ' table ' occurrences become paragraph breaks — the
+    exact same string both engines build, so the oracle checks the
+    whole strip-chain, not a trivial input."""
+    from nous_spark.operators.text import html_extract
+
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<!DOCTYPE html><HTML><head><title>"),
+        F.col("source"),
+        F.lit("</title><style>p { color: red; }</style>"),
+        F.lit(_HTML_SCRIPT),
+        F.lit("</head><body><h1>Doc &amp; &amp;lt;title&gt;</h1>\n<p>"),
+        F.replace(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" table "),
+            F.lit("</p>\n<p>"),
+        ),
+        F.lit(_HTML_TAIL),
+    )
+    return html_extract(docs.select("doc_id", html.alias("html")))
+
+
+def _html_extract_source_sql() -> str:
+    """The DuckDB twin of _q_doc_html_extract's page synthesis (chr(10)
+    for the embedded newlines; the script/tail constants are shared)."""
+    script = _HTML_SCRIPT.replace("'", "''")
+    tail = _HTML_TAIL.replace("'", "''").replace("\n", "' || chr(10) || '")
+    return f"""
+        SELECT doc_id,
+               '<!DOCTYPE html><HTML><head><title>' || source
+               || '</title><style>p {{ color: red; }}</style>'
+               || '{script}'
+               || '</head><body><h1>Doc &amp; &amp;lt;title&gt;</h1>'
+               || chr(10) || '<p>'
+               || replace(coalesce(text, ''), ' table ',
+                          '</p>' || chr(10) || '<p>')
+               || '{tail}' AS html
+        FROM documents
+    """
+
+
+def _q_doc_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus composition report (doc/token volumes, exact-dup
+    mass, dominant language + share) — the data-card rollup a mixture
+    run publishes per domain."""
+    from nous_spark.operators.curation import corpus_datacard
+
+    return corpus_datacard(_t(spark, sf_dir, "documents"))
+
+
 def _q_emb_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space decontamination: vectors with vec_id % 17 == 0
     stand in for the eval benchmark; every training vector reports its
@@ -1417,8 +1483,8 @@ def _q_kg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER CONTRACT: the driver's CORRECTNESS artifact evaluates the
-    # FIRST 50 entries only. All 77 oracled entries precede the 2
-    # rows-only ones; overflow slots 51-77 hold oracled queries with no
+    # FIRST 50 entries only. All 79 oracled entries precede the 2
+    # rows-only ones; overflow slots 51-79 hold oracled queries with no
     # unique SURVEY §2 responsibility (ann_cosine_scores — E1 triple-
     # covered in-window — plus the generic TPC-H/left-join set, green in
     # the r1-r3 driver artifacts, plus doc_curation_pipeline and
@@ -1546,6 +1612,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # doc_pack_sequences over the same tokenizer
         "kg_entity_pagerank": _q_kg_entity_pagerank,
         "doc_chunk_split": _q_doc_chunk_split,
+        # doc_html_extract — the upstream extraction twin of in-window
+        # doc_quality_filter/doc_dedup_lines (same line identity rule)
+        "doc_html_extract": _q_doc_html_extract,
+        # doc_corpus_datacard — reporting rollup composing in-window
+        # identities (token count, lang ID, md5 text hash)
+        "doc_corpus_datacard": _q_doc_corpus_datacard,
         # rows-only (non-SQL-expressible: xxhash64 sketch, Python query
         # embedder)
         "doc_simhash_near_dups": _q_simhash_near_dups,
@@ -1553,12 +1625,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def _build_lang_id_sql() -> str:
-    """DuckDB mirror of text.lang_id_col, generated from the SAME
-    stopword table so the two can never drift: per-lang score = (# word
-    occurrences in the lang's stopword set) / #words, argmax with
-    first-lang-wins ties (the Column form's strictly-greater loop), 'und'
-    at or below the 0.02 floor."""
+def _lang_score_pick_sql() -> tuple[str, str, str]:
+    """The (score_cols, best, pick) SQL fragments of the lang-ID argmax,
+    GENERATED from text._LANG_STOPWORDS — the one definition both
+    _build_lang_id_sql and _build_datacard_sql fold in, so the two
+    oracles replay the identical stopword table and tie rule."""
     from nous_spark.operators.text import _LANG_STOPWORDS
 
     langs = sorted(_LANG_STOPWORDS)
@@ -1570,6 +1641,16 @@ def _build_lang_id_sql() -> str:
     )
     best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
     pick = " ".join(f"WHEN s_{lang} = _best THEN '{lang}'" for lang in langs)
+    return score_cols, best, pick
+
+
+def _build_lang_id_sql() -> str:
+    """DuckDB mirror of text.lang_id_col, generated from the SAME
+    stopword table so the two can never drift: per-lang score = (# word
+    occurrences in the lang's stopword set) / #words, argmax with
+    first-lang-wins ties (the Column form's strictly-greater loop), 'und'
+    at or below the 0.02 floor."""
+    score_cols, best, pick = _lang_score_pick_sql()
     return f"""
         WITH wt AS (
           SELECT lang,
@@ -1599,6 +1680,68 @@ def _build_lang_id_sql() -> str:
 
 
 _LANG_ID_SQL = _build_lang_id_sql()
+
+
+def _build_datacard_sql() -> str:
+    """DuckDB mirror of curation.corpus_datacard, GENERATED from the
+    same stopword table (via _lang_score_pick_sql) and replaying the
+    module's token identity (regexp_split_to_array(trim(text), '\\s+'),
+    NULL text stays NULL and drops out of sum/avg/min/max exactly like
+    Spark's null-skipping aggregates), the md5 NULL≡'' text identity,
+    and the (count DESC, lang ASC) mode tie-break. Integer '/' is
+    float division in both engines — exact_dup_frac and top_lang_frac
+    divide BIGINTs directly."""
+    score_cols, best, pick = _lang_score_pick_sql()
+    return f"""
+        WITH wt AS (
+          SELECT source, text,
+                 list_filter(
+                   regexp_split_to_array(
+                     regexp_replace(lower(text), '[^a-záàâãéêíóôõúüçñ]+', ' ', 'g'),
+                     ' '),
+                   w -> w != '') AS words
+          FROM documents
+        ),
+        scored AS (
+          SELECT source, text, len(words) AS n_words,
+                     {score_cols}
+          FROM wt
+        ),
+        best AS (SELECT *, {best} AS _best FROM scored),
+        per_doc AS (
+          SELECT source,
+                 CAST(length(regexp_split_to_array(trim(text), '\\s+'))
+                      AS BIGINT) AS n_toks,
+                 CASE WHEN n_words > 0 AND _best > 0.02
+                      THEN CASE {pick} END
+                      ELSE 'und' END AS lang_pred,
+                 md5(coalesce(text, '')) AS h
+          FROM best
+        ),
+        stats AS (
+          SELECT source, count(*) AS n_docs,
+                 CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+                 round(avg(n_toks), 4) AS avg_doc_tokens,
+                 CAST(min(n_toks) AS BIGINT) AS min_doc_tokens,
+                 CAST(max(n_toks) AS BIGINT) AS max_doc_tokens,
+                 round(1 - count(DISTINCT h) / count(*), 4) AS exact_dup_frac
+          FROM per_doc GROUP BY source
+        ),
+        lc AS (
+          SELECT source, lang_pred, count(*) AS cnt
+          FROM per_doc GROUP BY 1, 2
+        ),
+        top AS (
+          SELECT source, lang_pred AS top_lang, cnt,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY cnt DESC, lang_pred ASC) AS rn
+          FROM lc
+        )
+        SELECT s.source, s.n_docs, s.n_tokens, s.avg_doc_tokens,
+               s.min_doc_tokens, s.max_doc_tokens, s.exact_dup_frac,
+               t.top_lang, round(t.cnt / s.n_docs, 4) AS top_lang_frac
+        FROM stats s JOIN top t ON s.source = t.source AND t.rn = 1
+    """
 
 
 def _build_quality_clf_sql() -> str:
@@ -2341,6 +2484,10 @@ def oracle_sql() -> dict[str, str]:
             round_to=4,
         ),
         "doc_chunk_split": chunk_oracle_sql(max_tokens=24, stride=16),
+        "doc_html_extract": _html_extract_oracle_sql(
+            source=_html_extract_source_sql()
+        ),
+        "doc_corpus_datacard": _build_datacard_sql(),
         "kg_recall_lookup": f"""
             {edges_cte}
             SELECT e.src AS entity_id, hf.pred AS pred, hf.dst AS fact_id,

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from nous_spark.operators.text import token_count_col
+from nous_spark.operators.text import lang_id_col, token_count_col
 
 
 def hash_uniform_col(key: Column, seed: int = 42) -> Column:
@@ -591,3 +591,76 @@ def chunk_oracle_sql(
                  AS chunk_text
         FROM tok, UNNEST(range(1, len(ws) + 1, {stride})) AS t(s)
     """
+
+
+def corpus_datacard(
+    docs: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus composition report ("data card", Dolma/Gopher style): one
+    row per ``group_col`` value with the numbers every pretraining run
+    publishes about its mixture — doc count, whitespace-token volume
+    (``token_count_col``, the module's one token identity), token
+    min/avg/max, the exact-duplicate mass (1 − distinct-text fraction,
+    md5 identity with NULL ≡ '' like the dedup operators), and the
+    dominant detected language (``lang_id_col``) with its share.
+    Reference has no analog (builder-brief web-corpus extension).
+
+    Determinism: the language mode tie-breaks (count DESC, lang ASC) —
+    no arbitrary-row picks. All formulas are replayed verbatim by the
+    generated DuckDB oracle in ``__spark_entry__._build_datacard_sql``.
+
+    Scale: the per-doc frame (group, tokens, lang, hash) is derived in
+    ONE text scan and eagerly localCheckpointed (two aggregation
+    consumers); both aggregations are map-side-combinable hash aggs
+    keyed on low-cardinality groups; the language-mode window runs over
+    the |groups| × |langs| count table (bounded by construction — ≤ a
+    few dozen rows per group), so it needs no shard cap; the final join
+    is |groups|-row × |groups|-row.
+    """
+    from pyspark.sql import Window
+
+    t = F.col(text_col)
+    per_doc = docs.select(
+        F.col(group_col).alias("source"),
+        token_count_col(t).cast("long").alias("n_toks"),
+        lang_id_col(t).alias("lang_pred"),
+        F.md5(F.coalesce(t, F.lit(""))).alias("_h"),
+    ).localCheckpoint(eager=True)
+
+    stats = (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+            F.round(F.avg("n_toks"), 4).alias("avg_doc_tokens"),
+            F.min("n_toks").alias("min_doc_tokens"),
+            F.max("n_toks").alias("max_doc_tokens"),
+            F.countDistinct("_h").alias("_n_uniq"),
+        )
+        .withColumn(
+            "exact_dup_frac",
+            F.round(F.lit(1) - F.col("_n_uniq") / F.col("n_docs"), 4),
+        )
+        .drop("_n_uniq")
+    )
+    lang_counts = per_doc.groupBy("source", "lang_pred").agg(
+        F.count("*").alias("_cnt")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("_cnt"), F.asc("lang_pred")
+    )
+    top = (
+        lang_counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("source", F.col("lang_pred").alias("top_lang"), "_cnt")
+    )
+    return (
+        stats.join(F.broadcast(top), "source")
+        .withColumn(
+            "top_lang_frac", F.round(F.col("_cnt") / F.col("n_docs"), 4)
+        )
+        .drop("_cnt")
+    )

@@ -786,6 +786,137 @@ def c4_line_filter_oracle_sql(
     """
 
 
+# ---------------------------------------------------------------- HTML -> text
+# The HTML-stripping step table — an ORDERED chain of transformations the
+# Spark operator, the generated DuckDB oracle, and the pytest pure-Python
+# reference all execute verbatim, so the three engines cannot drift.
+# kind "re" is a regex replace (patterns restricted to the Java-regex ∩
+# RE2 ∩ Python-re common dialect: inline (?is) flags, lazy .*?, no
+# backreferences in patterns or replacements); kind "lit" is a literal
+# substring replace. Ordering is load-bearing: script/style/comment
+# blocks go first (their CONTENT must never leak into text), block-close
+# tags become newlines BEFORE the generic tag strip erases them, and
+# entity unescapes run last with &amp; at the very end so double-encoded
+# '&amp;lt;' decodes to '&lt;', not '<'.
+HTML_STRIP_STEPS: tuple[tuple[str, str, str], ...] = (
+    ("re", r"(?is)<script[^>]*>.*?</script>", " "),
+    ("re", r"(?is)<style[^>]*>.*?</style>", " "),
+    ("re", r"(?s)<!--.*?-->", " "),
+    ("re", r"(?is)<(?:br|hr)[^>]*>", "\n"),
+    (
+        "re",
+        r"(?is)</(?:p|div|h[1-6]|li|ul|ol|tr|table|blockquote|section|article)>",
+        "\n",
+    ),
+    ("re", r"<[^>]*>", " "),
+    ("lit", "&lt;", "<"),
+    ("lit", "&gt;", ">"),
+    ("lit", "&quot;", '"'),
+    ("lit", "&#39;", "'"),
+    ("lit", "&nbsp;", " "),
+    ("lit", "&amp;", "&"),
+    ("re", r"[ \t\r]+", " "),
+)
+
+
+def html_extract(
+    docs: DataFrame, id_col: str = "doc_id", html_col: str = "html"
+) -> DataFrame:
+    """HTML-to-text extraction — the upstream-most step of a web-crawl
+    pretraining pipeline (WET-style payload -> plain text), as a pure
+    Column chain: run ``HTML_STRIP_STEPS`` in order (drop script/style/
+    comment content, turn block boundaries into newlines, strip tags,
+    unescape the common entities, collapse horizontal whitespace), then
+    canonicalize lines with ``lines_arr_col`` — the ONE line identity
+    rule shared with c4_line_filter/dedup_lines_corpus, so cleaning and
+    dedup downstream agree on what a line is.
+
+    Returns (id, text, n_lines, text_density): text is the
+    newline-joined kept lines, n_lines their count, text_density =
+    round(len(text)/len(html), 4) — the classic boilerplate signal
+    (NULL for NULL/'' input, which yields text '' and 0 lines).
+
+    This is a lexical extractor, not a DOM parser: unclosed tags strip
+    to the next '>', malformed markup degrades deterministically and
+    IDENTICALLY in all three engines (the step table is the spec).
+    Reference has no analog (builder-brief web-corpus extension).
+
+    Scale: stateless single-pass codegen projection — zero exchanges,
+    zero Python workers; composes with streaming ingest like
+    pii_scrub/c4_line_filter (stream==batch tested).
+    """
+    raw = F.coalesce(F.col(html_col), F.lit(""))
+    t = raw
+    for kind, pat, rep in HTML_STRIP_STEPS:
+        if kind == "re":
+            t = F.regexp_replace(t, pat, rep)
+        else:
+            t = F.replace(t, F.lit(pat), F.lit(rep))
+    lines = lines_arr_col(t)
+    text = F.array_join(lines, "\n")
+    return docs.select(
+        F.col(id_col),
+        text.alias("text"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.when(
+            F.length(raw) > 0, F.round(F.length(text) / F.length(raw), 4)
+        ).alias("text_density"),
+    )
+
+
+def html_extract_py(html: str | None) -> tuple[str, int, float | None]:
+    """Pure-Python reference of ``html_extract`` (pytest ground truth):
+    the SAME step table via ``re.sub``/``str.replace``. Returns
+    (text, n_lines, text_density)."""
+    raw = html or ""
+    t = raw
+    for kind, pat, rep in HTML_STRIP_STEPS:
+        t = re.sub(pat, rep, t) if kind == "re" else t.replace(pat, rep)
+    lines = [ln for ln in (s.strip(" ") for s in t.split("\n")) if ln]
+    text = "\n".join(lines)
+    density = round(len(text) / len(raw), 4) if raw else None
+    return text, len(lines), density
+
+
+def html_extract_oracle_sql(
+    source: str = "SELECT doc_id, html FROM documents",
+) -> str:
+    """DuckDB mirror of ``html_extract``, GENERATED by folding the same
+    ``HTML_STRIP_STEPS`` chain into nested regexp_replace/replace calls
+    (edit the step table, never this SQL). Newline replacements go
+    through chr(10) (a raw newline inside a SQL literal would survive,
+    but chr(10) reads unambiguously); quotes are SQL-escaped."""
+
+    def lit(s: str) -> str:
+        return "chr(10)" if s == "\n" else "'" + s.replace("'", "''") + "'"
+
+    expr = "raw"
+    for kind, pat, rep in HTML_STRIP_STEPS:
+        if kind == "re":
+            expr = f"regexp_replace({expr}, {lit(pat)}, {lit(rep)}, 'g')"
+        else:
+            expr = f"replace({expr}, {lit(pat)}, {lit(rep)})"
+    return f"""
+        WITH base AS (
+          SELECT doc_id, coalesce(html, '') AS raw FROM ({source})
+        ), clean AS (
+          SELECT doc_id, raw,
+            list_filter(list_transform(string_split({expr},
+              chr(10)), l -> trim(l)), l -> l != '') AS lines
+          FROM base
+        )
+        SELECT doc_id,
+               -- DuckDB array_to_string([]) is NULL; Spark array_join is ''
+               coalesce(array_to_string(lines, chr(10)), '') AS text,
+               CAST(len(lines) AS BIGINT) AS n_lines,
+               CASE WHEN length(raw) > 0 THEN
+                 round(length(coalesce(array_to_string(lines, chr(10)), ''))
+                       / length(raw), 4)
+               END AS text_density
+        FROM clean
+    """
+
+
 # ---------------------------------------------------------------- tf-idf
 def tfidf_topk_terms(
     docs: DataFrame,

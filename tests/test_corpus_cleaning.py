@@ -592,3 +592,100 @@ def test_domain_blocklist_filter_composes_with_streaming(spark, tmp_path):
     got = {tuple(r) for r in spark.sql("select * from dom_stream_q").collect()}
     want = {tuple(r) for r in domain_blocklist_filter(docs, ["site2.org"]).collect()}
     assert got == want and sum(1 for r in want if r[3]) == 6
+
+
+# ---------------------------------------------------------------------------
+# html_extract: HTML -> text extraction (shared step table)
+# ---------------------------------------------------------------------------
+HTML_CASES = [
+    (1, "<html><body><p>Hello world.</p><p>Second para.</p></body></html>"),
+    # uppercase tags + attrs; script body contains a fake close tag
+    (2, '<SCRIPT type="x">var s = "</div>"; if (1 < 2) {}</SCRIPT><P>kept.</P>'),
+    (3, "<style>p { color: red }</style>before<br/>after<BR>third"),
+    # multi-line comment swallowed whole
+    (4, "a<!-- hidden\nlines\nhere -->b"),
+    # entities, incl. double-encoded &amp;lt; (must yield literal '&lt;')
+    (5, "x &lt;tag&gt; &quot;q&quot; &#39;a&#39;&nbsp;y &amp; z &amp;lt;raw"),
+    # unclosed tag strips to the next '>', then text resumes
+    (6, "start <a href='u' end middle> tail"),
+    # whitespace: tabs/CR collapse, blank lines drop, lines trim
+    (7, "  one\t\tword \r\n\n\n  two  \n<div></div>\n"),
+    (8, None),
+    (9, ""),
+    (10, "<script>only code</script><style>only style</style>"),
+]
+
+
+def _spark_html(spark, rows):
+    from nous_spark.operators.text import html_extract
+
+    docs = spark.createDataFrame(rows, "doc_id long, html string")
+    return _by_id(html_extract(docs).collect())
+
+
+def test_html_extract_matches_python_reference(spark):
+    from nous_spark.operators.text import html_extract_py
+
+    got = _spark_html(spark, HTML_CASES)
+    assert set(got) == {d for d, _ in HTML_CASES}
+    for doc_id, html in HTML_CASES:
+        text, n_lines, density = html_extract_py(html)
+        r = got[doc_id]
+        assert (r["text"], r["n_lines"]) == (text, n_lines), (doc_id, r["text"])
+        if density is None:
+            assert r["text_density"] is None, doc_id
+        else:
+            assert r["text_density"] == density, doc_id
+
+
+def test_html_extract_semantics_pinned(spark):
+    got = _spark_html(spark, HTML_CASES)
+    assert got[1]["text"] == "Hello world.\nSecond para."  # </p> -> newline
+    assert got[2]["text"] == "kept."  # script CONTENT never leaks
+    assert got[3]["text"] == "before\nafter\nthird"  # br variants
+    assert got[4]["text"] == "a b"  # comment gone, sides joined
+    assert got[5]["text"] == 'x <tag> "q" \'a\' y & z &lt;raw'
+    assert got[6]["text"] == "start tail"  # unclosed tag eats to next '>'
+    assert got[7]["text"] == "one word\ntwo"
+    for d in (8, 9, 10):
+        assert (got[d]["text"], got[d]["n_lines"]) == ("", 0), d
+    assert got[8]["text_density"] is None and got[9]["text_density"] is None
+    assert got[10]["text_density"] == 0.0  # nonempty html, empty text
+    assert 0.0 < got[1]["text_density"] < 1.0
+
+
+def test_html_extract_duckdb_oracle_on_adversarial_corpus(spark):
+    """Cross-engine check on the adversarial cases (the sf documents
+    parity in test_oracle_parity only sees the tame synthesized shell):
+    the generated oracle must agree byte-for-byte on every edge case."""
+    import duckdb
+    import pandas as pd
+
+    from nous_spark.operators.text import html_extract_oracle_sql
+
+    con = duckdb.connect()
+    con.register("docs_html", pd.DataFrame(HTML_CASES, columns=["doc_id", "html"]))
+    duck = {
+        int(r[0]): (r[1], int(r[2]), r[3])
+        for r in con.execute(
+            html_extract_oracle_sql(source="SELECT doc_id, html FROM docs_html")
+        ).fetchall()
+    }
+    got = _spark_html(spark, HTML_CASES)
+    for doc_id in got:
+        dd = duck[doc_id]
+        d_density = None if dd[2] is None or dd[2] != dd[2] else dd[2]
+        assert (
+            got[doc_id]["text"],
+            got[doc_id]["n_lines"],
+            got[doc_id]["text_density"],
+        ) == (dd[0], dd[1], d_density), doc_id
+
+
+def test_html_extract_plan_is_zero_exchange(spark):
+    from nous_spark.operators.text import html_extract
+
+    docs = spark.createDataFrame(HTML_CASES, "doc_id long, html string")
+    plan = html_extract(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # pure Column chain, no UDF workers

@@ -495,3 +495,64 @@ def test_chunk_documents_chunk_count_formula(spark):
     for doc_id, text in CHUNK_DOCS:
         n = len(text.split())
         assert len(got[doc_id]) == (n - 1) // 3 + 1, doc_id
+
+
+# ---------------------------------------------------------------------------
+# corpus_datacard: per-group composition report
+# ---------------------------------------------------------------------------
+DATACARD_ROWS = [
+    # src_a: an exact-dup pair + the NULL≡'' identity pair (NULL text and
+    # '' hash together; NULL drops out of token stats but counts in n_docs)
+    (1, "the of and to in a is that it was here now", "src_a"),
+    (2, "the of and to in a is that it was here now", "src_a"),
+    (3, None, "src_a"),
+    (4, "", "src_a"),
+    (5, "o que de e a em um para com não por mais", "src_a"),
+    # src_b: 1 en vs 1 pt vs 1 und — mode ties broken (count DESC, lang ASC)
+    (6, "the of and to in a is that it was", "src_b"),
+    (7, "o que de e a em um para com não", "src_b"),
+    (8, "zzz qqq xxx www yyy kkk jjj", "src_b"),
+]
+
+
+def test_corpus_datacard_edge_semantics(spark):
+    from nous_spark.operators.curation import corpus_datacard
+
+    docs = spark.createDataFrame(DATACARD_ROWS, "doc_id long, text string, source string")
+    got = {r["source"]: r.asDict() for r in corpus_datacard(docs).collect()}
+
+    a = got["src_a"]
+    assert a["n_docs"] == 5
+    # doc 3 (NULL) out of token stats; docs 1/2 have 12 tokens, doc 4 -> 1
+    assert (a["min_doc_tokens"], a["max_doc_tokens"]) == (1, 12)
+    assert a["n_tokens"] == 12 + 12 + 1 + 12
+    # 5 docs, distinct texts = {dup-text, ''(=NULL too), pt-text} = 3
+    assert a["exact_dup_frac"] == round(1 - 3 / 5, 4)
+    assert a["top_lang"] == "en" and a["top_lang_frac"] == round(2 / 5, 4)
+
+    b = got["src_b"]
+    assert b["n_docs"] == 3 and b["exact_dup_frac"] == 0.0
+    # 1 en / 1 pt / 1 und — the count tie resolves to the ASC-first lang
+    assert b["top_lang"] == "en" and b["top_lang_frac"] == round(1 / 3, 4)
+
+
+def test_corpus_datacard_duckdb_oracle_on_edge_corpus(spark):
+    """The generated oracle must agree on the edge corpus too (the sf
+    parity run sees no exact dups and no NULL text)."""
+    import duckdb
+    import pandas as pd
+
+    from __spark_entry__ import _build_datacard_sql
+    from nous_spark.operators.curation import corpus_datacard
+
+    docs = spark.createDataFrame(DATACARD_ROWS, "doc_id long, text string, source string")
+    got = corpus_datacard(docs).toPandas().sort_values("source").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(DATACARD_ROWS, columns=["doc_id", "text", "source"]),
+    )
+    want = con.execute(_build_datacard_sql()).df().sort_values("source").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
+    )

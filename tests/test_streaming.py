@@ -504,3 +504,44 @@ def test_decontaminate_semantic_composes_with_streaming(spark, tmp_path):
         for r in decontaminate_semantic(vecs, ev, threshold=0.5).collect()
     }
     assert got == want and len(want) == 30
+
+
+def test_html_extract_composes_with_streaming(spark, tmp_path):
+    """html_extract is a stateless codegen Column chain (zero exchanges
+    — see its plan-audit test), so crawl payloads can be stripped to
+    text AT INGEST on a readStream frame, before any curation stage
+    sees them. Stream == batch."""
+    from nous_spark.operators.text import html_extract
+
+    src = str(tmp_path / "html_src")
+    docs = spark.createDataFrame(
+        [
+            (1, "<html><body><p>Hello &amp; goodbye.</p></body></html>"),
+            (2, "<script>skip()</script><p>kept line.</p>"),
+            (3, None),
+        ],
+        "doc_id long, html string",
+    )
+    docs.coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, html string").parquet(src)
+    q = (
+        html_extract(stream)
+        .writeStream.format("memory")
+        .queryName("html_stream_q")
+        .option("checkpointLocation", str(tmp_path / "cp_html"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["text"], r["n_lines"], r["text_density"])
+        for r in spark.sql("select * from html_stream_q").collect()
+    }
+    want = {
+        r["doc_id"]: (r["text"], r["n_lines"], r["text_density"])
+        for r in html_extract(docs).collect()
+    }
+    assert got == want
+    assert got[1][0] == "Hello & goodbye."
