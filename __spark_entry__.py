@@ -43,6 +43,7 @@ from nous_spark.operators.text import (
     fingerprint_col,
     gopher_rules_oracle_sql as _gopher_rules_oracle_sql,
     html_extract_oracle_sql as _html_extract_oracle_sql,
+    html_links_oracle_sql as _html_links_oracle_sql,
     lang_id_col,
     quality_columns,
     quality_score_cols,
@@ -1191,6 +1192,46 @@ def _html_extract_source_sql() -> str:
     """
 
 
+_LINKS_TAIL = (
+    '</a> rest <A CLASS="f" HREF="HTTPS://HUB.example.com/">hub &amp;\n'
+    "<b>spoke</b></A></p></body>"
+)
+
+
+def _q_doc_html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperlink extraction over deterministically synthesized pages:
+    every document gets a per-doc parameterized link (entity-encoded
+    query string) plus an uppercase-tag link whose anchor spans a
+    newline and an inner tag — both engines build the identical string,
+    so the oracle exercises the full regex + cleanup chain."""
+    from nous_spark.operators.text import html_links
+
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<body><p><a href="https://'),
+        F.col("source"),
+        F.lit(".example.com/d/"),
+        F.col("doc_id").cast("string"),
+        F.lit('?a=1&amp;b=2">'),
+        F.substring(F.col("text"), 1, 24),
+        F.lit(_LINKS_TAIL),
+    )
+    return html_links(docs.select("doc_id", html.alias("html")))
+
+
+def _html_links_source_sql() -> str:
+    """The DuckDB twin of _q_doc_html_links' page synthesis (chr(10)
+    splice for the embedded newline; the tail constant is shared)."""
+    tail = _LINKS_TAIL.replace("'", "''").replace("\n", "' || chr(10) || '")
+    return f"""
+        SELECT doc_id,
+               '<body><p><a href="https://' || source || '.example.com/d/'
+               || CAST(doc_id AS VARCHAR) || '?a=1&amp;b=2">'
+               || substr(text, 1, 24) || '{tail}' AS html
+        FROM documents
+    """
+
+
 def _q_doc_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus composition report (doc/token volumes, exact-dup
     mass, dominant language + share) — the data-card rollup a mixture
@@ -1483,8 +1524,8 @@ def _q_kg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER CONTRACT: the driver's CORRECTNESS artifact evaluates the
-    # FIRST 50 entries only. All 79 oracled entries precede the 2
-    # rows-only ones; overflow slots 51-79 hold oracled queries with no
+    # FIRST 50 entries only. All 80 oracled entries precede the 2
+    # rows-only ones; overflow slots 51-80 hold oracled queries with no
     # unique SURVEY §2 responsibility (ann_cosine_scores — E1 triple-
     # covered in-window — plus the generic TPC-H/left-join set, green in
     # the r1-r3 driver artifacts, plus doc_curation_pipeline and
@@ -1618,6 +1659,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # doc_corpus_datacard — reporting rollup composing in-window
         # identities (token count, lang ID, md5 text hash)
         "doc_corpus_datacard": _q_doc_corpus_datacard,
+        # doc_html_links — web-graph edge extraction, the upstream feed
+        # of kg_entity_pagerank/doc_domain_filter (both in-window shapes)
+        "doc_html_links": _q_doc_html_links,
         # rows-only (non-SQL-expressible: xxhash64 sketch, Python query
         # embedder)
         "doc_simhash_near_dups": _q_simhash_near_dups,
@@ -2488,6 +2532,9 @@ def oracle_sql() -> dict[str, str]:
             source=_html_extract_source_sql()
         ),
         "doc_corpus_datacard": _build_datacard_sql(),
+        "doc_html_links": _html_links_oracle_sql(
+            source=_html_links_source_sql()
+        ),
         "kg_recall_lookup": f"""
             {edges_cte}
             SELECT e.src AS entity_id, hf.pred AS pred, hf.dst AS fact_id,

@@ -917,6 +917,119 @@ def html_extract_oracle_sql(
     """
 
 
+# ----------------------------------------------------------- HTML -> links
+# Lexical link rule (Java-regex ∩ RE2 ∩ Python-re): a double-quoted href
+# anywhere in the <a ...> attribute list, lazy anchor body across
+# newlines. Single-quoted/unquoted hrefs are deliberately NOT matched —
+# the rule is a deterministic lexical spec shared by all three engines,
+# not a DOM parser (same stance as HTML_STRIP_STEPS).
+_HTML_LINK_RE = r'(?is)<a\s[^>]*href\s*=\s*"([^"]*)"[^>]*>(.*?)</a>'
+
+# Anchor/href cleanup: the entity-unescape tail of HTML_STRIP_STEPS (same
+# ordering invariant: &amp; last), plus inner-tag strip and horizontal
+# whitespace collapse for the anchor body.
+_LINK_ENTITY_STEPS: tuple[tuple[str, str], ...] = tuple(
+    (pat, rep) for kind, pat, rep in HTML_STRIP_STEPS if kind == "lit"
+)
+
+
+def html_links(
+    docs: DataFrame, id_col: str = "doc_id", html_col: str = "html"
+) -> DataFrame:
+    """Hyperlink extraction — the web-graph construction step of a crawl
+    pipeline (outlink edges feed ``graph.pagerank`` and the URL gates in
+    ``domain_blocklist_filter``): pull every double-quoted-href anchor
+    via ONE regex (``_HTML_LINK_RE``) applied twice (group 1 = href,
+    group 2 = anchor body — identical match positions by construction,
+    so positional indexing aligns them), posexplode to one row per link, then
+    clean: href gets the entity unescapes (URLs in markup encode & as
+    &amp;), the anchor body additionally drops inner tags and collapses
+    whitespace to the trimmed display text.
+
+    Returns (id, link_no 0-based in document order, href, anchor).
+    Documents with no links (or NULL html) emit no rows in BOTH engines
+    (posexplode/UNNEST of an empty list). Reference has no analog
+    (builder-brief web-corpus extension).
+
+    Scale: stateless generate+project — zero exchanges, zero Python
+    workers; fan-out is links-per-page (bounded ~O(100) on real pages),
+    so no hot-key cap is needed.
+    """
+    raw = F.coalesce(F.col(html_col), F.lit(""))
+    pat = F.lit(_HTML_LINK_RE)
+    out = docs.select(
+        F.col(id_col),
+        F.regexp_extract_all(raw, pat, F.lit(2)).alias("_anchors"),
+        F.posexplode(F.regexp_extract_all(raw, pat, F.lit(1))).alias(
+            "link_no", "_href"
+        ),
+    )
+    # the two extracts share one pattern, so positions align exactly
+    href = F.col("_href")
+    anchor = F.regexp_replace(
+        F.element_at(F.col("_anchors"), F.col("link_no") + 1),
+        r"<[^>]*>",
+        " ",
+    )
+    for pat_s, rep_s in _LINK_ENTITY_STEPS:
+        href = F.replace(href, F.lit(pat_s), F.lit(rep_s))
+        anchor = F.replace(anchor, F.lit(pat_s), F.lit(rep_s))
+    anchor = F.trim(F.regexp_replace(anchor, r"[ \t\r\n]+", " "))
+    return out.select(
+        F.col(id_col),
+        F.col("link_no").cast("long").alias("link_no"),
+        href.alias("href"),
+        anchor.alias("anchor"),
+    )
+
+
+def html_links_py(html: str | None) -> list[tuple[int, str, str]]:
+    """Pure-Python reference of ``html_links`` (pytest ground truth):
+    same regex via re.findall, same cleanup steps."""
+    out = []
+    for i, (href, anchor) in enumerate(re.findall(_HTML_LINK_RE, html or "")):
+        anchor = re.sub(r"<[^>]*>", " ", anchor)
+        for pat, rep in _LINK_ENTITY_STEPS:
+            href = href.replace(pat, rep)
+            anchor = anchor.replace(pat, rep)
+        anchor = re.sub(r"[ \t\r\n]+", " ", anchor).strip(" ")
+        out.append((i, href, anchor))
+    return out
+
+
+def html_links_oracle_sql(
+    source: str = "SELECT doc_id, html FROM documents",
+) -> str:
+    """DuckDB mirror of ``html_links``, GENERATED from the same regex
+    and entity-step table. 1-based list indexing over a range UNNEST
+    (the chunk_oracle_sql recipe) — shifted to Spark's 0-based
+    posexplode; the two extracts have equal length by construction
+    (same pattern, different group)."""
+    href_expr = "hrefs[i]"
+    anchor_expr = "regexp_replace(anchors[i], '<[^>]*>', ' ', 'g')"
+    for pat, rep in _LINK_ENTITY_STEPS:
+        q_pat, q_rep = pat.replace("'", "''"), rep.replace("'", "''")
+        href_expr = f"replace({href_expr}, '{q_pat}', '{q_rep}')"
+        anchor_expr = f"replace({anchor_expr}, '{q_pat}', '{q_rep}')"
+    link_re = _HTML_LINK_RE.replace("'", "''")
+    return f"""
+        WITH base AS (
+          SELECT doc_id, coalesce(html, '') AS raw FROM ({source})
+        ), z AS (
+          SELECT doc_id,
+                 regexp_extract_all(raw, '{link_re}', 1) AS hrefs,
+                 regexp_extract_all(raw, '{link_re}', 2) AS anchors
+          FROM base
+        )
+        SELECT doc_id,
+               CAST(i - 1 AS BIGINT) AS link_no,
+               {href_expr} AS href,
+               trim(regexp_replace({anchor_expr},
+                                   '[ \\t\\r\\n]+', ' ', 'g'), ' ') AS anchor
+        FROM z, UNNEST(range(1, len(hrefs) + 1)) AS t(i)
+    """
+
+
 # ---------------------------------------------------------------- tf-idf
 def tfidf_topk_terms(
     docs: DataFrame,

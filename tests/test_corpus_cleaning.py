@@ -689,3 +689,72 @@ def test_html_extract_plan_is_zero_exchange(spark):
     plan = html_extract(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan  # pure Column chain, no UDF workers
+
+
+# ---------------------------------------------------------------------------
+# html_links: hyperlink (web-graph edge) extraction
+# ---------------------------------------------------------------------------
+LINK_CASES = [
+    # entity-encoded query string; uppercase tag + host
+    (1, '<p><a href="https://a.com/?x=1&amp;y=2">first link</a> mid '
+        '<A HREF="https://B.com/">B &amp; co</A></p>'),
+    # attrs before href; inner tag + newline in anchor; single-quoted
+    # href is outside the lexical rule (deliberately skipped)
+    (2, '<a class="x" href="u1">one <b>bold</b>\n two</a>'
+        "<a href='single'>skipped</a>"),
+    # empty href kept (row exists), anchor-less name tag skipped
+    (3, '<a href="">empty</a><a name="no-href">no</a>'),
+    (4, None),
+    (5, ""),
+    # anchor is only an inner tag -> cleans to ''
+    (6, '<a href="https://c.com" title="t">img only <img src="i.png"/></a>'),
+]
+
+
+def test_html_links_matches_python_reference(spark):
+    from nous_spark.operators.text import html_links, html_links_py
+
+    docs = spark.createDataFrame(LINK_CASES, "doc_id long, html string")
+    got = [
+        (r["doc_id"], r["link_no"], r["href"], r["anchor"])
+        for r in html_links(docs).orderBy("doc_id", "link_no").collect()
+    ]
+    want = [(d, i, h, a) for d, html in LINK_CASES for i, h, a in html_links_py(html)]
+    assert got == want
+    # pinned semantics: entity-unescaped href, cleaned anchor, doc order
+    assert got[0] == (1, 0, "https://a.com/?x=1&y=2", "first link")
+    assert got[1] == (1, 1, "https://B.com/", "B & co")
+    assert got[2] == (2, 0, "u1", "one bold two")
+    assert (3, 0, "", "empty") in got and (6, 0, "https://c.com", "img only") in got
+    assert {d for d, *_ in got} == {1, 2, 3, 6}  # 4/5 emit no rows
+
+
+def test_html_links_duckdb_oracle_on_adversarial_corpus(spark):
+    import duckdb
+    import pandas as pd
+
+    from nous_spark.operators.text import html_links, html_links_oracle_sql
+
+    docs = spark.createDataFrame(LINK_CASES, "doc_id long, html string")
+    got = [
+        tuple(r)
+        for r in html_links(docs).orderBy("doc_id", "link_no").collect()
+    ]
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(LINK_CASES, columns=["doc_id", "html"]))
+    duck = [
+        tuple(r)
+        for r in con.execute(
+            html_links_oracle_sql() + " ORDER BY doc_id, link_no"
+        ).fetchall()
+    ]
+    assert got == duck
+
+
+def test_html_links_plan_is_zero_exchange(spark):
+    from nous_spark.operators.text import html_links
+
+    docs = spark.createDataFrame(LINK_CASES, "doc_id long, html string")
+    plan = html_links(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # generate + project, no UDF workers
