@@ -50,6 +50,14 @@ from nous_spark.operators.text import (
     token_count_col,
 )
 from nous_spark.operators.tpch_graph import EDGES_SQL, FACTS_SQL, tpch_edges, tpch_facts
+from nous_spark.operators.webgraph import (
+    anchor_text_profiles_oracle_sql as _anchor_profiles_oracle_sql,
+    domain_edges_oracle_sql as _domain_edges_oracle_sql,
+    domain_link_graph_oracle_sql as _domain_link_graph_oracle_sql,
+    domain_quality_gate_oracle_sql as _domain_quality_gate_oracle_sql,
+    link_quality_signals_oracle_sql as _link_quality_signals_oracle_sql,
+    robots_meta_oracle_sql as _robots_meta_oracle_sql,
+)
 from nous_spark.semantic import build_embeddings, rag_recall, summarize_entities
 
 
@@ -1232,6 +1240,268 @@ def _html_links_source_sql() -> str:
     """
 
 
+# --------------------------------------------------------- web-graph layer
+# Shared deterministic page synthesis for the webgraph queries: every
+# document becomes a page with its own URL (host s{doc_id%20}.co.uk —
+# the ccSLD registrable-domain path) and four link shapes: an
+# intra-domain self link, a shared cross-domain hub (entity-encoded
+# query string; anchor alternates by doc parity so the anchor-count
+# tie rule is exercised at corpus scale), a cdn-{0,1,2}.net asset link
+# whose anchor is image-only (cleans to '') on every 4th doc, and a
+# relative nav link (domain '' bucket) on every 5th doc.
+
+
+def _web_synth_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sid = (F.col("doc_id") % 20).cast("string")
+    did = F.col("doc_id").cast("string")
+    url = F.concat(
+        F.lit("https://www.s"), sid, F.lit(".co.uk/p/"), did
+    )
+    hub_anchor = (
+        F.when(F.col("doc_id") % 2 == 0, F.lit("Example &amp; <b>News</b>"))
+        .otherwise(F.lit("news hub"))
+    )
+    cdn_anchor = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit('<img src="x.png"/>'))
+        .otherwise(F.lit("cdn asset"))
+    )
+    rel = (
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.lit('<a href="/nav/menu">site nav</a>'),
+        )
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(
+        F.lit('<p><a href="https://www.s'), sid, F.lit('.co.uk/self">Home</a> '),
+        F.lit('<a href="https://news.example.org/top?a=1&amp;ref=2">'),
+        hub_anchor, F.lit("</a> "),
+        F.lit('<a href="https://cdn-'), (F.col("doc_id") % 3).cast("string"),
+        F.lit('.net/a.js">'), cdn_anchor, F.lit("</a>"),
+        rel, F.lit("</p>"),
+    )
+    return docs.select(
+        "doc_id", url.alias("url"), html.alias("html"), "text"
+    )
+
+
+def _web_pages_source_sql() -> str:
+    """The DuckDB twin of ``_web_synth_pages`` (same concat, CASE for
+    the per-parity/multiple-of links)."""
+    return """
+        SELECT doc_id,
+               'https://www.s' || CAST(doc_id % 20 AS VARCHAR)
+                 || '.co.uk/p/' || CAST(doc_id AS VARCHAR) AS url,
+               '<p><a href="https://www.s' || CAST(doc_id % 20 AS VARCHAR)
+                 || '.co.uk/self">Home</a> '
+                 || '<a href="https://news.example.org/top?a=1&amp;ref=2">'
+                 || CASE WHEN doc_id % 2 = 0
+                         THEN 'Example &amp; <b>News</b>'
+                         ELSE 'news hub' END
+                 || '</a> '
+                 || '<a href="https://cdn-' || CAST(doc_id % 3 AS VARCHAR)
+                 || '.net/a.js">'
+                 || CASE WHEN doc_id % 4 = 0
+                         THEN '<img src="x.png"/>'
+                         ELSE 'cdn asset' END
+                 || '</a>'
+                 || CASE WHEN doc_id % 5 = 0
+                         THEN '<a href="/nav/menu">site nav</a>'
+                         ELSE '' END
+                 || '</p>' AS html,
+               text
+        FROM documents
+    """
+
+
+_WEB_SRC_URL_SQL = (
+    "'https://www.s' || CAST(doc_id % 20 AS VARCHAR) || '.co.uk/p/' "
+    "|| CAST(doc_id AS VARCHAR)"
+)
+
+
+def _web_links_with_src(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, link_no, href, anchor, src_url) — html_links over the
+    synthesized pages; src_url is re-derived from doc_id (pure
+    function, no join back to the pages frame)."""
+    from nous_spark.operators.text import html_links
+
+    pages = _web_synth_pages(spark, sf_dir)
+    links = html_links(pages.select("doc_id", "html"))
+    src_url = F.concat(
+        F.lit("https://www.s"),
+        (F.col("doc_id") % 20).cast("string"),
+        F.lit(".co.uk/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    return links.withColumn("src_url", src_url)
+
+
+def _web_links_with_src_sql() -> str:
+    return (
+        f"SELECT doc_id, href, anchor, {_WEB_SRC_URL_SQL} AS src_url "
+        f"FROM ({_html_links_oracle_sql(source=_web_pages_source_sql())})"
+    )
+
+
+def _q_web_link_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page outlink-quality (spam) signals over the synthesized
+    pages: link counts, distinct target domains, intra-domain fraction
+    against the page's own registrable domain, and the cleaned
+    anchor-chars-to-text ratio — a zero-exchange codegen map."""
+    from nous_spark.operators.webgraph import link_quality_signals
+
+    return link_quality_signals(_web_synth_pages(spark, sf_dir))
+
+
+def _q_web_anchor_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target anchor-text profiles (the entity-alias mining step):
+    inlink counts, distinct non-empty anchors, and the dominant anchor
+    with the deterministic count-desc/text-asc tie rule — the hub href
+    lands an exact 50/50 anchor tie at even corpus sizes."""
+    from nous_spark.operators.webgraph import anchor_text_profiles
+
+    return anchor_text_profiles(_web_links_with_src(spark, sf_dir))
+
+
+def _q_web_domain_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level link-graph rollup: page links collapse onto
+    registrable-domain pairs (ccSLD sources, a shared .org hub,
+    cdn .net assets, and the '' relative bucket) with link/page
+    weights and the intra-domain flag."""
+    from nous_spark.operators.webgraph import domain_link_graph
+
+    return domain_link_graph(_web_links_with_src(spark, sf_dir))
+
+
+def _q_web_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the domain graph — the full crawl-analytics chain
+    (regex link extraction -> registrable-domain projection -> 3 power
+    iterations with dangling redistribution) in one query; the oracle
+    unrolls the identical chain as generated SQL."""
+    from nous_spark.graph import pagerank
+    from nous_spark.operators.webgraph import domain_edges
+
+    pr = pagerank(
+        domain_edges(_web_links_with_src(spark, sf_dir)),
+        iterations=3,
+        damping=0.85,
+    )
+    return pr.select("node", F.round("rank", 4).alias("rank"))
+
+
+def _q_web_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots-meta compliance gate over synthesized heads: every 3rd doc
+    a lowercase noindex meta, every 7th an UPPERCASE content="NONE"
+    (implies both), every 5th a content-before-name nofollow meta, and
+    EVERY doc a name="description" decoy whose content mentions noindex
+    (must not trip the gate — only name="robots" tags are read)."""
+    from nous_spark.operators.webgraph import robots_meta
+
+    docs = _t(spark, sf_dir, "documents")
+    m3 = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit('<meta name="robots" content="noindex, follow">'),
+        ).otherwise(F.lit(""))
+    )
+    m7 = (
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.lit('<META NAME="ROBOTS" CONTENT="NONE">'),
+        ).otherwise(F.lit(""))
+    )
+    m5 = (
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.lit('<meta content="nofollow" name="robots">'),
+        ).otherwise(F.lit(""))
+    )
+    html = F.concat(
+        F.lit(
+            '<html><head><meta name="description" '
+            'content="noindex is discussed here">'
+        ),
+        m3, m7, m5,
+        F.lit("</head><body>"),
+        F.substring(F.col("text"), 1, 40),
+        F.lit("</body></html>"),
+    )
+    return robots_meta(docs.select("doc_id", html.alias("html")))
+
+
+def _web_robots_pages_sql() -> str:
+    """DuckDB twin of _q_web_robots_gate's head synthesis."""
+    return """
+        SELECT doc_id,
+               '<html><head><meta name="description" '
+                 || 'content="noindex is discussed here">'
+                 || CASE WHEN doc_id % 3 = 0
+                         THEN '<meta name="robots" content="noindex, follow">'
+                         ELSE '' END
+                 || CASE WHEN doc_id % 7 = 0
+                         THEN '<META NAME="ROBOTS" CONTENT="NONE">'
+                         ELSE '' END
+                 || CASE WHEN doc_id % 5 = 0
+                         THEN '<meta content="nofollow" name="robots">'
+                         ELSE '' END
+                 || '</head><body>' || substr(text, 1, 40)
+                 || '</body></html>' AS html
+        FROM documents
+    """
+
+
+def _q_web_domain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level quality gate: the oracled heuristic quality score
+    aggregated onto the synthesized s{doc_id%20}.co.uk domains (ccSLD
+    path), mean rounded to 4, whole-domain keep flag with the
+    min_docs=3 insufficient-evidence guard."""
+    from nous_spark.operators.webgraph import domain_quality_gate
+
+    docs = _t(spark, sf_dir, "documents")
+    qs = quality_score_cols(F.col("text"))
+    url = F.concat(
+        F.lit("https://www.s"),
+        (F.col("doc_id") % 20).cast("string"),
+        F.lit(".co.uk/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    scored = docs.select(
+        "doc_id",
+        url.alias("url"),
+        qs["quality_score"].alias("quality_score"),
+    )
+    return domain_quality_gate(
+        scored, min_mean_score=0.5, min_docs=3
+    )
+
+
+def _web_scored_pages_sql() -> str:
+    """DuckDB twin of _q_web_domain_quality's (doc_id, url, score)
+    synthesis — the score CTEs mirror text.quality_score_cols exactly
+    as in the doc_quality_filter oracle."""
+    return rf"""
+        WITH q AS (
+          SELECT doc_id,
+                 {_WEB_SRC_URL_SQL} AS url,
+                 length(regexp_split_to_array(trim(text), '\s+')) AS words,
+                 round(length(regexp_replace(text, '\s', '', 'g'))
+                       / length(regexp_split_to_array(trim(text), '\s+')), 4) AS awl,
+                 round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                       / length(text), 4) AS punct
+          FROM documents
+        )
+        SELECT doc_id, url,
+               round(CASE WHEN words BETWEEN 10 AND 100000 THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END
+                     + CASE WHEN awl >= 3.0 AND awl <= 12.0 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END
+                     + CASE WHEN punct > 0.0 THEN 0.2::DOUBLE ELSE 0.0::DOUBLE END
+                     + CASE WHEN punct <= 0.1 THEN 0.1::DOUBLE ELSE 0.0::DOUBLE END, 2)
+                 AS quality_score
+        FROM q
+    """
+
+
 def _q_doc_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus composition report (doc/token volumes, exact-dup
     mass, dominant language + share) — the data-card rollup a mixture
@@ -1662,6 +1932,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # doc_html_links — web-graph edge extraction, the upstream feed
         # of kg_entity_pagerank/doc_domain_filter (both in-window shapes)
         "doc_html_links": _q_doc_html_links,
+        # web-graph analytics layer (session-7 depth): anchor-text
+        # profiles (entity-alias mining; D1/D6 agg shapes in-window via
+        # nation_segment_collect/usage_top_event_types), domain-graph
+        # rollup + per-page link signals (upstream composition of the
+        # in-window doc_domain_filter URL identity), the composed
+        # extraction->domains->PageRank chain (C4/D2 in-window twins as
+        # for kg_entity_pagerank), the robots-meta compliance gate
+        # (stateless twin of in-window doc_pii_scrub's codegen-map
+        # shape), and the domain-level quality gate (agg+join-back
+        # composition of in-window doc_quality_filter + doc_domain_filter
+        # identities)
+        "web_anchor_profiles": _q_web_anchor_profiles,
+        "web_domain_graph": _q_web_domain_graph,
+        "web_link_signals": _q_web_link_signals,
+        "web_domain_pagerank": _q_web_domain_pagerank,
+        "web_robots_gate": _q_web_robots_gate,
+        "web_domain_quality": _q_web_domain_quality,
         # rows-only (non-SQL-expressible: xxhash64 sketch, Python query
         # embedder)
         "doc_simhash_near_dups": _q_simhash_near_dups,
@@ -2534,6 +2821,27 @@ def oracle_sql() -> dict[str, str]:
         "doc_corpus_datacard": _build_datacard_sql(),
         "doc_html_links": _html_links_oracle_sql(
             source=_html_links_source_sql()
+        ),
+        "web_anchor_profiles": _anchor_profiles_oracle_sql(
+            source=_web_links_with_src_sql()
+        ),
+        "web_domain_graph": _domain_link_graph_oracle_sql(
+            source=_web_links_with_src_sql()
+        ),
+        "web_link_signals": _link_quality_signals_oracle_sql(
+            source=_web_pages_source_sql()
+        ),
+        "web_domain_pagerank": pagerank_oracle_sql(
+            _domain_edges_oracle_sql(source=_web_links_with_src_sql()),
+            iterations=3,
+            damping=0.85,
+            round_to=4,
+        ),
+        "web_robots_gate": _robots_meta_oracle_sql(
+            source=_web_robots_pages_sql()
+        ),
+        "web_domain_quality": _domain_quality_gate_oracle_sql(
+            source=_web_scored_pages_sql(), min_mean_score=0.5, min_docs=3
         ),
         "kg_recall_lookup": f"""
             {edges_cte}

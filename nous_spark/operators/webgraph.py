@@ -1,0 +1,629 @@
+"""Web-graph analytics over extracted hyperlinks — the layer between
+``text.html_links`` (page -> outlink rows) and ``graph.pagerank``:
+per-target anchor-text profiles (anchor texts are the classic entity
+surface-form source a KG linker mines — the aliases feeding
+``linking.py``'s find-or-create), the domain-level link graph (the
+crawl-scale rollup that turns 10^10 page edges into a 10^6-node domain
+graph), and per-page link-quality signals (the outlink-density spam
+gates a RefinedWeb/Dolma-style curation run applies alongside
+``text.gopher_rules``).
+
+The reference (jwandekoken/nous) has no web-graph analog — these are
+builder-brief web-corpus extensions, sharing the lexical link rule and
+URL identity machinery already oracled in ``text.py``
+(``_HTML_LINK_RE``, ``_LINK_ENTITY_STEPS``, ``url_host_col``,
+``url_registrable_domain_col``) so every identity rule lives in exactly
+one place.
+
+Scale notes (the 100 TB question, per operator):
+
+- ``anchor_text_profiles``: two map-side-combinable hash aggregations
+  plus a top-1-per-href window that Spark 4 executes as
+  WindowGroupLimit (Partial+Final — each map task forwards only its
+  own best row per href, so the exchange under the window carries
+  O(n_map_partitions) rows per href, never the raw fan-in of a
+  mega-URL). Same shape as ``curation.corpus_datacard``'s
+  language-mode branch; no hot-key cap needed because no pairs are
+  ever generated.
+- ``domain_link_graph`` / ``domain_edges``: stateless per-row domain
+  projection followed by one hash agg keyed on (src_domain,
+  dst_domain) — output cardinality is the sparse domain-pair matrix
+  (~10^7 at web scale), tiny next to the input edge list.
+- ``link_quality_signals``: a pure codegen Column chain (regexp
+  extraction + higher-order array functions) — zero exchanges, zero
+  Python workers, plan-gated in pytest like ``html_extract``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import (
+    _HTML_LINK_RE,
+    _LINK_ENTITY_STEPS,
+    _URL_HOST_RE,
+    URL_CC_SLDS,
+    url_host_col,
+    url_registrable_domain_col,
+)
+
+__all__ = [
+    "anchor_text_profiles",
+    "anchor_text_profiles_oracle_sql",
+    "domain_edges",
+    "domain_link_graph",
+    "domain_link_graph_oracle_sql",
+    "domain_edges_oracle_sql",
+    "domain_quality_gate",
+    "domain_quality_gate_oracle_sql",
+    "link_quality_signals",
+    "link_quality_signals_py",
+    "link_quality_signals_oracle_sql",
+    "robots_meta",
+    "robots_meta_py",
+    "robots_meta_oracle_sql",
+]
+
+
+# ------------------------------------------------------------------ helpers
+def _domain_col(url: Column) -> Column:
+    """Registrable domain of a full URL (host extraction + ccSLD rule —
+    the one identity shared with ``domain_blocklist_filter``)."""
+    return url_registrable_domain_col(url_host_col(url))
+
+
+def _host_sql(e: str) -> str:
+    """DuckDB mirror of ``url_host_col`` applied to expression ``e`` —
+    GENERATED from the same ``_URL_HOST_RE`` (shared-table convention:
+    edit the regex in text.py, never this SQL)."""
+    return (
+        "regexp_replace(regexp_replace(lower(regexp_extract("
+        f"{e}, '{_URL_HOST_RE}', 1)), '^[^@]*@', ''), ':[0-9]+$', '')"
+    )
+
+
+def _domain_sql(h: str) -> str:
+    """DuckDB mirror of ``url_registrable_domain_col`` applied to host
+    expression ``h`` — GENERATED from ``URL_CC_SLDS``. Inline (no CTE)
+    so it can live inside a list lambda; DuckDB folds the repeated
+    string_split."""
+    slds = ", ".join(f"'{s}'" for s in URL_CC_SLDS)
+    lab = f"string_split({h}, '.')"
+    last2 = f"({lab}[-2] || '.' || {lab}[-1])"
+    last3 = f"({lab}[-3] || '.' || {lab}[-2] || '.' || {lab}[-1])"
+    return (
+        f"CASE WHEN len({lab}) >= 3 AND {last2} IN ({slds}) THEN {last3} "
+        f"WHEN len({lab}) >= 2 THEN {last2} ELSE {h} END"
+    )
+
+
+def _url_domain_sql(e: str) -> str:
+    return _domain_sql(_host_sql(e))
+
+
+# ------------------------------------------------ anchor-text profiles
+def anchor_text_profiles(
+    links: DataFrame,
+    id_col: str = "doc_id",
+    href_col: str = "href",
+    anchor_col: str = "anchor",
+) -> DataFrame:
+    """Per-target anchor-text profile over a (doc, href, anchor) link
+    table: how many pages link here, with how many distinct display
+    texts, and what the dominant text is. Anchor texts are the web's
+    free entity-alias corpus (the signal behind classic entity linking
+    and the `aliases` identifier type in ``linking.py``) — a KG
+    construction run mines ``top_anchor`` per URL as a candidate
+    surface form.
+
+    Returns one row per distinct ``href``:
+
+      n_inlinks           total inbound links (multi-links per page count)
+      n_src_docs          distinct linking documents
+      n_distinct_anchors  distinct NON-EMPTY anchor texts ('' = image/
+                          markup-only anchors, excluded from the text
+                          profile but counted in n_inlinks)
+      top_anchor          most frequent non-empty anchor; count ties
+                          break to the lexicographically smallest text
+                          (deterministic cross-engine). NULL when every
+                          inbound anchor is empty.
+      top_anchor_count    its frequency (NULL with top_anchor)
+
+    Scale: the rollup is ONE hash agg on href (count-distincts ride
+    Spark's Expand + partial aggregation — map-side combinable); the
+    dominant anchor is a (href, anchor) count agg followed by a
+    top-1-per-href row_number that Spark 4 plans as WindowGroupLimit
+    (Partial mode keeps each map task's best row only, bounding the
+    window exchange regardless of a mega-URL's anchor fan-in). The
+    final href-keyed left join is between two already-aggregated
+    frames. No pair generation anywhere, so no hot-key cap applies.
+    """
+    base = links.select(
+        F.col(id_col).alias("_src"),
+        F.col(href_col).alias("href"),
+        F.col(anchor_col).alias("anchor"),
+    )
+    agg = base.groupBy("href").agg(
+        F.count("*").alias("n_inlinks"),
+        F.countDistinct("_src").alias("n_src_docs"),
+        F.countDistinct(
+            F.when(F.col("anchor") != "", F.col("anchor"))
+        ).alias("n_distinct_anchors"),
+    )
+    ac = (
+        base.filter(F.col("anchor") != "")
+        .groupBy("href", "anchor")
+        .agg(F.count("*").alias("top_anchor_count"))
+    )
+    w = Window.partitionBy("href").orderBy(
+        F.desc("top_anchor_count"), F.col("anchor")
+    )
+    top = (
+        ac.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("href").alias("_thref"),
+            F.col("anchor").alias("top_anchor"),
+            "top_anchor_count",
+        )
+    )
+    return (
+        agg.join(top, agg["href"] == top["_thref"], "left")
+        .drop("_thref")
+        .select(
+            "href",
+            "n_inlinks",
+            "n_src_docs",
+            "n_distinct_anchors",
+            "top_anchor",
+            "top_anchor_count",
+        )
+    )
+
+
+def anchor_text_profiles_oracle_sql(
+    source: str,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB mirror of ``anchor_text_profiles``. ``source`` is the
+    (id, href, anchor) link relation (typically the generated
+    ``html_links_oracle_sql``). Same tie rule: count DESC, anchor ASC."""
+    return f"""
+        WITH links AS ({source}),
+        agg AS (
+          SELECT href,
+                 count(*) AS n_inlinks,
+                 count(DISTINCT {id_col}) AS n_src_docs,
+                 count(DISTINCT CASE WHEN anchor <> '' THEN anchor END)
+                   AS n_distinct_anchors
+          FROM links GROUP BY href
+        ),
+        ac AS (
+          SELECT href, anchor, count(*) AS c
+          FROM links WHERE anchor <> '' GROUP BY href, anchor
+        ),
+        top AS (
+          SELECT href, anchor, c,
+                 row_number() OVER (PARTITION BY href
+                                    ORDER BY c DESC, anchor) AS rn
+          FROM ac
+        )
+        SELECT agg.href, agg.n_inlinks, agg.n_src_docs,
+               agg.n_distinct_anchors,
+               top.anchor AS top_anchor, top.c AS top_anchor_count
+        FROM agg LEFT JOIN top ON agg.href = top.href AND top.rn = 1
+    """
+
+
+# ------------------------------------------------ domain link graph
+def domain_edges(
+    links: DataFrame, src_url_col: str = "src_url", href_col: str = "href"
+) -> DataFrame:
+    """Raw (src, dst) registrable-domain pair per link — one row PER
+    LINK (multiplicity preserved), the exact edge-list contract
+    ``graph.pagerank`` documents for multi-edges (each link adds one
+    contribution unit and one outdegree unit). Relative and
+    unparseable hrefs (no ``scheme://``) bucket to domain ``''`` —
+    callers filter or keep the bucket as the 'intra-site navigation'
+    node. Stateless projection: zero exchanges."""
+    return links.select(
+        _domain_col(F.col(src_url_col)).alias("src"),
+        _domain_col(F.col(href_col)).alias("dst"),
+    )
+
+
+def domain_link_graph(
+    links: DataFrame, src_url_col: str = "src_url", href_col: str = "href"
+) -> DataFrame:
+    """Domain-level web-graph rollup: collapse page->href links to
+    weighted registrable-domain edges — the standard first reduction of
+    a crawl graph (10^10 page edges -> ~10^7 sparse domain pairs)
+    before host-level ranking, spam propagation, or crawl budgeting.
+
+    Returns (src_domain, dst_domain, n_links, n_src_urls, intra):
+    total link count, distinct linking page URLs, and whether the edge
+    is intra-domain (self-loop — site navigation; inter-domain edges
+    are the endorsement signal rankers use).
+
+    Scale: stateless domain projection + ONE hash agg keyed on the
+    domain pair (map-side combine collapses a site's internal links
+    inside each scan task; the exchange carries only the sparse pair
+    matrix). countDistinct(src_url) rides the same agg via Expand.
+    """
+    e = links.select(
+        _domain_col(F.col(src_url_col)).alias("src_domain"),
+        _domain_col(F.col(href_col)).alias("dst_domain"),
+        F.col(src_url_col).alias("_u"),
+    )
+    return (
+        e.groupBy("src_domain", "dst_domain")
+        .agg(
+            F.count("*").alias("n_links"),
+            F.countDistinct("_u").alias("n_src_urls"),
+        )
+        .withColumn("intra", F.col("src_domain") == F.col("dst_domain"))
+    )
+
+
+def domain_edges_oracle_sql(
+    source: str, src_url_col: str = "src_url", href_col: str = "href"
+) -> str:
+    """DuckDB mirror of ``domain_edges`` (feeds
+    ``graph.pagerank_oracle_sql`` as its edges_sql)."""
+    return (
+        f"SELECT {_url_domain_sql(src_url_col)} AS src, "
+        f"{_url_domain_sql(href_col)} AS dst FROM ({source})"
+    )
+
+
+def domain_link_graph_oracle_sql(
+    source: str, src_url_col: str = "src_url", href_col: str = "href"
+) -> str:
+    """DuckDB mirror of ``domain_link_graph``. ``source`` is the
+    (src_url, href) link relation."""
+    return f"""
+        WITH e AS (
+          SELECT {_url_domain_sql(src_url_col)} AS src_domain,
+                 {_url_domain_sql(href_col)} AS dst_domain,
+                 {src_url_col} AS _u
+          FROM ({source})
+        )
+        SELECT src_domain, dst_domain,
+               count(*) AS n_links,
+               count(DISTINCT _u) AS n_src_urls,
+               src_domain = dst_domain AS intra
+        FROM e GROUP BY src_domain, dst_domain
+    """
+
+
+# ------------------------------------------------ link-quality signals
+def link_quality_signals(
+    pages: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    html_col: str = "html",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-page outlink-quality signals — the SEO-spam/boilerplate
+    gates a web-curation run applies next to ``gopher_rules`` (link
+    farms have many links to few domains; navigation shells have high
+    anchor-to-text ratios):
+
+      n_links           outlinks under the shared lexical link rule
+      n_link_domains    distinct registrable target domains ('' is the
+                        relative/unparseable bucket and counts as one)
+      n_intra_links     links whose target domain == the page's own
+      intra_frac        n_intra_links / n_links (NULL when no links)
+      anchor_chars      total CLEANED anchor-text chars (same cleanup
+                        chain as ``html_links`` — shared identity)
+      anchor_char_frac  anchor_chars / max(1, len(text)) where ``text``
+                        is the caller-supplied extracted text (compose
+                        with ``html_extract``)
+
+    Scale: a pure codegen Column chain — one regexp extraction pass
+    plus higher-order array functions (transform/filter/aggregate);
+    zero exchanges, zero Python workers (plan-gated in pytest). The
+    per-page link list is bounded (~O(100) on real pages), so the
+    array work is constant per row.
+    """
+    raw = F.coalesce(F.col(html_col), F.lit(""))
+    pat = F.lit(_HTML_LINK_RE)
+
+    def clean_href(x: Column) -> Column:
+        for p, r in _LINK_ENTITY_STEPS:
+            x = F.replace(x, F.lit(p), F.lit(r))
+        return x
+
+    def clean_anchor(a: Column) -> Column:
+        a = F.regexp_replace(a, r"<[^>]*>", " ")
+        for p, r in _LINK_ENTITY_STEPS:
+            a = F.replace(a, F.lit(p), F.lit(r))
+        return F.trim(F.regexp_replace(a, r"[ \t\r\n]+", " "))
+
+    hrefs = F.transform(
+        F.regexp_extract_all(raw, pat, F.lit(1)), lambda x: clean_href(x)
+    )
+    anchors = F.transform(
+        F.regexp_extract_all(raw, pat, F.lit(2)), lambda a: clean_anchor(a)
+    )
+    doms = F.transform(hrefs, lambda x: _domain_col(x))
+    page_dom = _domain_col(F.col(url_col))
+    n_links = F.size(hrefs).cast("long")
+    n_intra = F.size(F.filter(doms, lambda d: d == page_dom)).cast("long")
+    anchor_chars = F.aggregate(
+        anchors, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    return pages.select(
+        F.col(id_col),
+        n_links.alias("n_links"),
+        F.size(F.array_distinct(doms)).cast("long").alias("n_link_domains"),
+        n_intra.alias("n_intra_links"),
+        F.when(n_links > 0, n_intra / n_links).alias("intra_frac"),
+        anchor_chars.alias("anchor_chars"),
+        (
+            anchor_chars
+            / F.greatest(
+                F.lit(1).cast("long"),
+                F.length(F.coalesce(F.col(text_col), F.lit(""))).cast("long"),
+            )
+        ).alias("anchor_char_frac"),
+    )
+
+
+def link_quality_signals_py(
+    url: str | None, html: str | None, text: str | None
+) -> tuple[int, int, int, float | None, int, float]:
+    """Pure-Python reference of ``link_quality_signals`` (pytest ground
+    truth): same regex, cleanup steps, and host/domain rules."""
+    import re
+
+    def host(u: str) -> str:
+        m = re.match(_URL_HOST_RE, u or "")
+        h = (m.group(1) if m else "").lower()
+        h = re.sub(r"^[^@]*@", "", h)
+        return re.sub(r":[0-9]+$", "", h)
+
+    def domain(h: str) -> str:
+        lab = h.split(".")
+        if len(lab) >= 3 and ".".join(lab[-2:]) in URL_CC_SLDS:
+            return ".".join(lab[-3:])
+        if len(lab) >= 2:
+            return ".".join(lab[-2:])
+        return h
+
+    hrefs, anchors = [], []
+    for href, anchor in re.findall(_HTML_LINK_RE, html or ""):
+        anchor = re.sub(r"<[^>]*>", " ", anchor)
+        for p, r in _LINK_ENTITY_STEPS:
+            href = href.replace(p, r)
+            anchor = anchor.replace(p, r)
+        hrefs.append(href)
+        anchors.append(re.sub(r"[ \t\r\n]+", " ", anchor).strip(" "))
+    doms = [domain(host(x)) for x in hrefs]
+    page_dom = domain(host(url or ""))
+    n_links = len(hrefs)
+    n_intra = sum(1 for d in doms if d == page_dom)
+    anchor_chars = sum(len(a) for a in anchors)
+    return (
+        n_links,
+        len(set(doms)),
+        n_intra,
+        (n_intra / n_links) if n_links else None,
+        anchor_chars,
+        anchor_chars / max(1, len(text or "")),
+    )
+
+
+def link_quality_signals_oracle_sql(
+    source: str, id_col: str = "doc_id"
+) -> str:
+    """DuckDB mirror of ``link_quality_signals``, GENERATED from the
+    same regex/entity-step/ccSLD tables. ``source`` is the (id, url,
+    html, text) relation. List lambdas carry the inlined host/domain
+    CASE (no CTE inside a lambda)."""
+    href_e = "x"
+    anchor_e = "regexp_replace(a, '<[^>]*>', ' ', 'g')"
+    for p, r in _LINK_ENTITY_STEPS:
+        qp, qr = p.replace("'", "''"), r.replace("'", "''")
+        href_e = f"replace({href_e}, '{qp}', '{qr}')"
+        anchor_e = f"replace({anchor_e}, '{qp}', '{qr}')"
+    anchor_e = (
+        f"trim(regexp_replace({anchor_e}, '[ \\t\\r\\n]+', ' ', 'g'), ' ')"
+    )
+    link_re = _HTML_LINK_RE.replace("'", "''")
+    dom_of_href = _domain_sql(_host_sql(href_e))
+    page_dom = _url_domain_sql("url")
+    return f"""
+        WITH base AS (
+          SELECT {id_col}, url, coalesce(html, '') AS raw,
+                 coalesce(text, '') AS txt
+          FROM ({source})
+        ), z AS (
+          SELECT {id_col},
+                 list_transform(regexp_extract_all(raw, '{link_re}', 1),
+                                x -> {dom_of_href}) AS doms,
+                 list_transform(regexp_extract_all(raw, '{link_re}', 2),
+                                a -> {anchor_e}) AS anchors,
+                 {page_dom} AS page_dom,
+                 length(txt) AS txt_len
+          FROM base
+        )
+        SELECT {id_col},
+               CAST(len(doms) AS BIGINT) AS n_links,
+               CAST(len(list_distinct(doms)) AS BIGINT) AS n_link_domains,
+               CAST(len(list_filter(doms, d -> d = page_dom)) AS BIGINT)
+                 AS n_intra_links,
+               CASE WHEN len(doms) > 0
+                    THEN CAST(len(list_filter(doms, d -> d = page_dom))
+                              AS DOUBLE) / len(doms) END AS intra_frac,
+               CAST(coalesce(list_sum(list_transform(anchors,
+                                                     a -> length(a))), 0)
+                    AS BIGINT) AS anchor_chars,
+               CAST(coalesce(list_sum(list_transform(anchors,
+                                                     a -> length(a))), 0)
+                    AS DOUBLE) / greatest(1, txt_len) AS anchor_char_frac
+        FROM z
+    """
+
+
+# ------------------------------------------------ robots meta gate
+# Lexical rule (Java-regex ∩ RE2 ∩ Python-re ∩ DuckDB-RE2, same stance
+# as _HTML_LINK_RE): a <meta ...> tag carrying a double-quoted
+# name="robots" attribute, case-insensitive; directive tokens
+# (noindex/nofollow/none, word-bounded) are searched in the raw tag
+# text, so attribute order (content before name) doesn't matter and
+# 'none' implies both per the robots spec.
+_ROBOTS_META_RE = r'(?is)<meta\s[^>]*name\s*=\s*"robots"[^>]*>'
+_NOINDEX_RE = r"(?i)\b(noindex|none)\b"
+_NOFOLLOW_RE = r"(?i)\b(nofollow|none)\b"
+
+
+def robots_meta(
+    pages: DataFrame, id_col: str = "doc_id", html_col: str = "html"
+) -> DataFrame:
+    """Robots-meta compliance gate — the page-level opt-out a lawful
+    crawl corpus must honor before training-data inclusion (noindex
+    pages leave the corpus; nofollow pages keep their text but drop
+    out of the link graph / anchor mining). Returns (id,
+    robots_noindex, robots_nofollow); pages with no robots meta are
+    false/false.
+
+    Scale: a pure codegen Column chain (one regexp extraction + an
+    EXISTS over the per-page tag list) — zero exchanges, zero Python
+    workers; plan-gated in pytest next to ``link_quality_signals``.
+    """
+    tags = F.regexp_extract_all(
+        F.coalesce(F.col(html_col), F.lit("")),
+        F.lit(_ROBOTS_META_RE),
+        F.lit(0),
+    )
+    return pages.select(
+        F.col(id_col),
+        F.exists(tags, lambda t: t.rlike(_NOINDEX_RE)).alias(
+            "robots_noindex"
+        ),
+        F.exists(tags, lambda t: t.rlike(_NOFOLLOW_RE)).alias(
+            "robots_nofollow"
+        ),
+    )
+
+
+def robots_meta_py(html: str | None) -> tuple[bool, bool]:
+    """Pure-Python reference of ``robots_meta`` (pytest ground truth)."""
+    import re
+
+    tags = re.findall(_ROBOTS_META_RE, html or "")
+    return (
+        any(re.search(_NOINDEX_RE, t) for t in tags),
+        any(re.search(_NOFOLLOW_RE, t) for t in tags),
+    )
+
+
+def robots_meta_oracle_sql(source: str, id_col: str = "doc_id") -> str:
+    """DuckDB mirror of ``robots_meta``, GENERATED from the same three
+    regexes. ``source`` is the (id, html) relation."""
+    tag_re = _ROBOTS_META_RE.replace("'", "''")
+    return f"""
+        WITH z AS (
+          SELECT {id_col},
+                 regexp_extract_all(coalesce(html, ''), '{tag_re}', 0)
+                   AS tags
+          FROM ({source})
+        )
+        SELECT {id_col},
+               len(list_filter(tags,
+                   t -> regexp_matches(t, '{_NOINDEX_RE}'))) > 0
+                 AS robots_noindex,
+               len(list_filter(tags,
+                   t -> regexp_matches(t, '{_NOFOLLOW_RE}'))) > 0
+                 AS robots_nofollow
+        FROM z
+    """
+
+
+# ------------------------------------------------ domain quality gate
+def domain_quality_gate(
+    docs_scored: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    score_col: str = "quality_score",
+    min_mean_score: float = 0.5,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Domain-level quality gating (the UT1/RefinedWeb move beyond a
+    static blocklist): aggregate a per-document quality score to its
+    registrable domain and drop WHOLE domains whose mean falls below
+    ``min_mean_score`` — spam farms are domain-shaped, and the per-doc
+    heuristic misses individual pages that pass on length/punctuation
+    alone. Domains with fewer than ``min_docs`` documents are kept
+    (insufficient evidence — the gate must not nuke the long tail of
+    single-page domains a small crawl sample underrepresents).
+
+    Input is any (id, url, score) frame — compose upstream with
+    ``text.quality_score_cols`` (the oracled heuristic) or
+    ``text.quality_classifier_score`` (the learned one). Returns (id,
+    domain, domain_n_docs, domain_mean_score rounded to 4, domain_keep).
+
+    Scale: stateless domain projection -> ONE map-side-combinable hash
+    agg (|domains| rows out) -> domain-keyed join back onto the corpus.
+    The stats side is corpus-derived (~10^7 domains on a full crawl),
+    so the join is left to AQE rather than force-broadcast — same
+    stance as the facts join in graph.py (a static broadcast would OOM
+    at the 10^9-page corpus the gate exists for). Mean is
+    order-dependent double math: rounded to 4 (repo convention).
+    """
+    base = docs_scored.select(
+        F.col(id_col),
+        _domain_col(F.col(url_col)).alias("domain"),
+        F.col(score_col).cast("double").alias("_s"),
+    )
+    stats = base.groupBy("domain").agg(
+        F.count("*").alias("domain_n_docs"),
+        F.round(F.avg("_s"), 4).alias("domain_mean_score"),
+    )
+    return (
+        base.join(stats, "domain")
+        .select(
+            F.col(id_col),
+            "domain",
+            "domain_n_docs",
+            "domain_mean_score",
+            (
+                (F.col("domain_n_docs") < F.lit(int(min_docs)))
+                | (F.col("domain_mean_score") >= F.lit(float(min_mean_score)))
+            ).alias("domain_keep"),
+        )
+    )
+
+
+def domain_quality_gate_oracle_sql(
+    source: str,
+    id_col: str = "doc_id",
+    min_mean_score: float = 0.5,
+    min_docs: int = 3,
+) -> str:
+    """DuckDB mirror of ``domain_quality_gate``. ``source`` is the
+    (id, url, quality_score) relation; thresholds round-trip via
+    repr->CAST so the comparison constant is the exact Python double
+    (the pagerank_oracle_sql convention)."""
+    thr = repr(float(min_mean_score))
+    return f"""
+        WITH base AS (
+          SELECT {id_col},
+                 {_url_domain_sql("url")} AS domain,
+                 CAST(quality_score AS DOUBLE) AS _s
+          FROM ({source})
+        ), stats AS (
+          SELECT domain,
+                 count(*) AS domain_n_docs,
+                 round(avg(_s), 4) AS domain_mean_score
+          FROM base GROUP BY domain
+        )
+        SELECT base.{id_col}, base.domain,
+               stats.domain_n_docs, stats.domain_mean_score,
+               (stats.domain_n_docs < {int(min_docs)}
+                OR stats.domain_mean_score >= CAST('{thr}' AS DOUBLE))
+                 AS domain_keep
+        FROM base JOIN stats USING (domain)
+    """

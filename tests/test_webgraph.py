@@ -1,0 +1,395 @@
+"""Web-graph analytics: anchor-text profiles, domain link graph, and
+per-page link-quality signals (nous_spark/operators/webgraph.py).
+Cross-engine value parity for the sf-table queries rides
+test_oracle_parity; here: pure-Python references on adversarial HTML,
+pinned semantics (tie rules, '' buckets), and physical-plan gates."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from nous_spark.operators.webgraph import (
+    anchor_text_profiles,
+    anchor_text_profiles_oracle_sql,
+    domain_edges,
+    domain_link_graph,
+    link_quality_signals,
+    link_quality_signals_oracle_sql,
+    link_quality_signals_py,
+)
+
+# (doc_id, url, html, text) — adversarial: no links, NULL html, relative
+# href, userinfo+port authority, uppercase scheme (outside the lexical
+# host rule -> domain ''), ccSLD host, image-only anchor, entities in
+# href and anchor, inner tag + newline in anchor.
+PAGE_CASES = [
+    (1, "https://www.a.co.uk/p/1",
+     '<a href="https://news.a.co.uk/x?l=1&amp;r=2">A &amp; B</a>'
+     '<a href="https://u:p@b.com:8443/y">b <b>bold</b>\n tail</a>'
+     '<a href="/rel/nav">nav</a>',
+     "short text"),
+    (2, "https://b.com/", '<a href="https://b.com/self">self</a>', None),
+    (3, "https://c.org/p", "", "no links at all"),
+    (4, "https://d.net/p", None, "null html"),
+    (5, "https://e.com/p",
+     '<a href="HTTPS://E.com/up">upper scheme</a>'
+     '<a href="https://e.com/i"><img src="x.png"/></a>',
+     ""),
+]
+
+
+def _pages_df(spark):
+    return spark.createDataFrame(
+        PAGE_CASES, "doc_id long, url string, html string, text string"
+    )
+
+
+def test_link_quality_signals_matches_python_reference(spark):
+    got = {
+        r["doc_id"]: (
+            r["n_links"], r["n_link_domains"], r["n_intra_links"],
+            r["intra_frac"], r["anchor_chars"], r["anchor_char_frac"],
+        )
+        for r in link_quality_signals(_pages_df(spark)).collect()
+    }
+    for doc_id, url, html, text in PAGE_CASES:
+        assert got[doc_id] == link_quality_signals_py(url, html, text), doc_id
+    # pinned: page 1 — news.a.co.uk collapses to the page's own a.co.uk
+    # (ccSLD registrable domain) -> intra; b.com (userinfo/port
+    # stripped) and '' (relative) are the other two domains
+    n, nd, ni, frac, ac, acf = got[1]
+    assert (n, nd, ni) == (3, 3, 1) and frac == pytest.approx(1 / 3)
+    # cleaned anchors: 'A & B' (5) + 'b bold tail' (11) + 'nav' (3)
+    assert ac == 5 + 11 + 3 and acf == pytest.approx(19 / len("short text"))
+    # page 2: NULL text -> denominator max(1, 0); intra self link
+    assert got[2] == (1, 1, 1, 1.0, 4, 4.0)
+    # pages 3/4: zero links -> zero counts, NULL intra_frac
+    assert got[3] == (0, 0, 0, None, 0, 0.0)
+    assert got[4] == (0, 0, 0, None, 0, 0.0)
+    # page 5: uppercase scheme -> domain '' (not intra); img-only anchor
+    # cleans to '' so contributes 0 chars
+    n, nd, ni, frac, ac, acf = got[5]
+    assert (n, nd, ni) == (2, 2, 1) and ac == len("upper scheme")
+
+
+def test_link_quality_signals_duckdb_oracle_on_adversarial_corpus(spark):
+    got = [
+        tuple(r)
+        for r in link_quality_signals(_pages_df(spark))
+        .orderBy("doc_id")
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.register(
+        "pages",
+        pd.DataFrame(PAGE_CASES, columns=["doc_id", "url", "html", "text"]),
+    )
+    duck = con.execute(
+        link_quality_signals_oracle_sql(
+            source="SELECT doc_id, url, html, text FROM pages"
+        )
+        + " ORDER BY doc_id"
+    ).fetchall()
+    assert got == [tuple(r) for r in duck]
+
+
+def test_link_quality_signals_plan_is_zero_exchange(spark):
+    plan = (
+        link_quality_signals(_pages_df(spark))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # pure Column chain, no UDF workers
+
+
+def test_domain_edges_plan_is_zero_exchange(spark):
+    links = spark.createDataFrame(
+        [(1, "https://a.com/p", "https://b.com/x")],
+        "doc_id long, src_url string, href string",
+    )
+    plan = domain_edges(links)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+LINKS = [
+    # (doc_id, src_url, href, anchor)
+    (1, "https://www.a.com/1", "https://hub.org/t", "Hub"),
+    (1, "https://www.a.com/1", "https://hub.org/t", "hub news"),
+    (2, "https://www.a.com/2", "https://hub.org/t", "hub news"),
+    (3, "https://b.co.uk/3", "https://hub.org/t", "Hub"),
+    # empty anchors: counted in n_inlinks, excluded from the profile
+    (3, "https://b.co.uk/3", "https://imgs.net/i", ""),
+    (4, "https://b.co.uk/4", "https://imgs.net/i", ""),
+    # intra-domain edge (ccSLD collapse) + relative '' bucket
+    (4, "https://b.co.uk/4", "https://cdn.b.co.uk/a", "asset"),
+    (4, "https://b.co.uk/4", "/nav", "nav"),
+]
+
+
+def _links_df(spark):
+    return spark.createDataFrame(
+        LINKS, "doc_id long, src_url string, href string, anchor string"
+    )
+
+
+def test_anchor_profiles_semantics_pinned(spark):
+    got = {
+        r["href"]: (
+            r["n_inlinks"], r["n_src_docs"], r["n_distinct_anchors"],
+            r["top_anchor"], r["top_anchor_count"],
+        )
+        for r in anchor_text_profiles(_links_df(spark)).collect()
+    }
+    # 2-2 count tie between 'Hub' and 'hub news' -> lexicographic min
+    # ('H' < 'h' in UTF-8); doc 1 links twice (n_inlinks 4, n_src 3)
+    assert got["https://hub.org/t"] == (4, 3, 2, "Hub", 2)
+    # all-empty anchors -> NULL profile, but inlinks/docs still counted
+    assert got["https://imgs.net/i"] == (2, 2, 0, None, None)
+    assert got["https://cdn.b.co.uk/a"] == (1, 1, 1, "asset", 1)
+    assert got["/nav"] == (1, 1, 1, "nav", 1)
+
+
+def test_anchor_profiles_duckdb_oracle_tie_rule(spark):
+    got = sorted(
+        tuple(r) for r in anchor_text_profiles(_links_df(spark)).collect()
+    )
+    con = duckdb.connect()
+    con.register(
+        "link_rows",
+        pd.DataFrame(LINKS, columns=["doc_id", "src_url", "href", "anchor"]),
+    )
+    duck = sorted(
+        tuple(r)
+        for r in con.execute(
+            anchor_text_profiles_oracle_sql(
+                source="SELECT doc_id, href, anchor FROM link_rows"
+            )
+        ).fetchall()
+    )
+    assert got == duck
+
+
+def test_anchor_profiles_top1_uses_window_group_limit(spark):
+    """The dominant-anchor branch must plan as WindowGroupLimit (Spark
+    4's partial top-1 pushdown) so a mega-URL's anchor fan-in never
+    lands on one window task unbounded."""
+    plan = (
+        anchor_text_profiles(_links_df(spark))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_domain_link_graph_semantics(spark):
+    got = {
+        (r["src_domain"], r["dst_domain"]): (
+            r["n_links"], r["n_src_urls"], r["intra"]
+        )
+        for r in domain_link_graph(_links_df(spark)).collect()
+    }
+    # a.com pages -> hub.org: 3 links from 2 distinct page URLs
+    assert got[("a.com", "hub.org")] == (3, 2, False)
+    assert got[("b.co.uk", "hub.org")] == (1, 1, False)
+    assert got[("b.co.uk", "imgs.net")] == (2, 2, False)
+    # cdn.b.co.uk collapses to the registrable b.co.uk -> intra edge
+    assert got[("b.co.uk", "b.co.uk")] == (1, 1, True)
+    # relative href -> '' bucket
+    assert got[("b.co.uk", "")] == (1, 1, False)
+    assert len(got) == 5
+
+
+def test_domain_edges_preserve_multiplicity(spark):
+    """pagerank's multi-edge contract: one row per link, so doc 1's two
+    hub links contribute twice (and count twice in its outdegree)."""
+    rows = sorted(
+        (r["src"], r["dst"]) for r in domain_edges(_links_df(spark)).collect()
+    )
+    assert rows.count(("a.com", "hub.org")) == 3  # 2 from doc1 + 1 doc2
+    assert len(rows) == len(LINKS)
+
+
+# ---------------------------------------------------------------------------
+# robots_meta: page-level crawl-compliance gate
+# ---------------------------------------------------------------------------
+ROBOTS_CASES = [
+    (1, '<head><meta name="robots" content="noindex, follow"></head>'),
+    (2, '<head><META NAME="ROBOTS" CONTENT="NONE"></head>'),  # none -> both
+    # content before name (attribute order is free)
+    (3, '<head><meta content="nofollow" name="robots"></head>'),
+    # decoy: description meta mentioning noindex must NOT trip the gate
+    (4, '<head><meta name="description" content="noindex explained"></head>'),
+    # multiple robots metas union; whitespace/newline inside the tag
+    (5, '<meta name="robots"\n content="noindex"><meta name="robots" '
+        'content="nofollow">'),
+    # directive must be word-bounded: 'noindexing' is not 'noindex'
+    (6, '<meta name="robots" content="noindexing">'),
+    (7, None),
+    (8, ""),
+]
+
+
+def test_robots_meta_matches_python_reference(spark):
+    from nous_spark.operators.webgraph import robots_meta, robots_meta_py
+
+    pages = spark.createDataFrame(ROBOTS_CASES, "doc_id long, html string")
+    got = {
+        r["doc_id"]: (r["robots_noindex"], r["robots_nofollow"])
+        for r in robots_meta(pages).collect()
+    }
+    for doc_id, html in ROBOTS_CASES:
+        assert got[doc_id] == robots_meta_py(html), doc_id
+    assert got[1] == (True, False)
+    assert got[2] == (True, True)      # NONE implies both
+    assert got[3] == (False, True)     # content-before-name order
+    assert got[4] == (False, False)    # decoy ignored
+    assert got[5] == (True, True)      # union over multiple tags
+    assert got[6] == (False, False)    # word boundary
+    assert got[7] == (False, False) and got[8] == (False, False)
+
+
+def test_robots_meta_duckdb_oracle_on_adversarial_corpus(spark):
+    from nous_spark.operators.webgraph import robots_meta, robots_meta_oracle_sql
+
+    pages = spark.createDataFrame(ROBOTS_CASES, "doc_id long, html string")
+    got = [tuple(r) for r in robots_meta(pages).orderBy("doc_id").collect()]
+    con = duckdb.connect()
+    con.register(
+        "robots_pages",
+        pd.DataFrame(ROBOTS_CASES, columns=["doc_id", "html"]),
+    )
+    duck = con.execute(
+        robots_meta_oracle_sql(source="SELECT doc_id, html FROM robots_pages")
+        + " ORDER BY doc_id"
+    ).fetchall()
+    assert got == [tuple(r) for r in duck]
+
+
+def test_robots_meta_plan_is_zero_exchange(spark):
+    from nous_spark.operators.webgraph import robots_meta
+
+    pages = spark.createDataFrame(ROBOTS_CASES, "doc_id long, html string")
+    plan = robots_meta(pages)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_robots_meta_composes_with_streaming(spark, tmp_path):
+    """robots_meta is a stateless codegen map (see its plan gate), so
+    the compliance flags can be stamped AT INGEST on a readStream
+    frame. Stream == batch."""
+    from nous_spark.operators.webgraph import robots_meta
+
+    src = str(tmp_path / "robots_src")
+    pages = spark.createDataFrame(ROBOTS_CASES, "doc_id long, html string")
+    pages.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("doc_id long, html string").parquet(src)
+    q = (
+        robots_meta(stream)
+        .writeStream.format("memory")
+        .queryName("robots_stream_q")
+        .option("checkpointLocation", str(tmp_path / "cp_robots"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["robots_noindex"], r["robots_nofollow"])
+        for r in spark.sql("select * from robots_stream_q").collect()
+    }
+    want = {
+        r["doc_id"]: (r["robots_noindex"], r["robots_nofollow"])
+        for r in robots_meta(pages).collect()
+    }
+    assert got == want and len(want) == len(ROBOTS_CASES)
+
+
+# ---------------------------------------------------------------------------
+# domain_quality_gate: whole-domain keep/drop on mean score
+# ---------------------------------------------------------------------------
+SCORED = [
+    # spam.net: 3 docs, mean 0.2 -> dropped (n >= min_docs, below thr)
+    (1, "https://a.spam.net/1", 0.2),
+    (2, "https://b.spam.net/2", 0.1),
+    (3, "https://spam.net/3", 0.3),
+    # good.org: 3 docs, mean 0.8 -> kept
+    (4, "https://good.org/1", 0.9),
+    (5, "https://good.org/2", 0.7),
+    (6, "https://www.good.org/3", 0.8),
+    # tiny.io: 2 docs below threshold BUT n < min_docs -> kept (guard)
+    (7, "https://tiny.io/1", 0.1),
+    (8, "https://tiny.io/2", 0.2),
+    # boundary: mean exactly == threshold -> kept (>=)
+    (9, "https://edge.com/1", 0.5),
+    (10, "https://edge.com/2", 0.5),
+    (11, "https://edge.com/3", 0.5),
+]
+
+
+def test_domain_quality_gate_semantics(spark):
+    from nous_spark.operators.webgraph import domain_quality_gate
+
+    docs = spark.createDataFrame(
+        SCORED, "doc_id long, url string, quality_score double"
+    )
+    got = {
+        r["doc_id"]: (
+            r["domain"], r["domain_n_docs"],
+            r["domain_mean_score"], r["domain_keep"],
+        )
+        for r in domain_quality_gate(
+            docs, min_mean_score=0.5, min_docs=3
+        ).collect()
+    }
+    assert len(got) == len(SCORED)  # gate annotates, never drops rows
+    # subdomains collapse onto the registrable domain
+    assert got[1] == ("spam.net", 3, 0.2, False)
+    assert got[2][0] == "spam.net" and got[3][3] is False
+    assert got[4] == ("good.org", 3, 0.8, True)
+    assert got[6][0] == "good.org"
+    # insufficient evidence -> kept despite low mean
+    assert got[7] == ("tiny.io", 2, 0.15, True)
+    # mean == threshold -> kept
+    assert got[9] == ("edge.com", 3, 0.5, True)
+
+
+def test_domain_quality_gate_duckdb_oracle(spark):
+    from nous_spark.operators.webgraph import (
+        domain_quality_gate,
+        domain_quality_gate_oracle_sql,
+    )
+
+    docs = spark.createDataFrame(
+        SCORED, "doc_id long, url string, quality_score double"
+    )
+    got = sorted(
+        tuple(r)
+        for r in domain_quality_gate(
+            docs, min_mean_score=0.5, min_docs=3
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.register(
+        "scored_docs",
+        pd.DataFrame(SCORED, columns=["doc_id", "url", "quality_score"]),
+    )
+    duck = sorted(
+        tuple(r)
+        for r in con.execute(
+            domain_quality_gate_oracle_sql(
+                source="SELECT doc_id, url, quality_score FROM scored_docs",
+                min_mean_score=0.5,
+                min_docs=3,
+            )
+        ).fetchall()
+    )
+    assert got == duck
