@@ -57,6 +57,7 @@ from nous_spark.operators.webgraph import (
     domain_quality_gate_oracle_sql as _domain_quality_gate_oracle_sql,
     link_quality_signals_oracle_sql as _link_quality_signals_oracle_sql,
     robots_meta_oracle_sql as _robots_meta_oracle_sql,
+    url_revisit_diff_oracle_sql as _url_revisit_oracle_sql,
 )
 from nous_spark.semantic import build_embeddings, rag_recall, summarize_entities
 
@@ -1502,6 +1503,56 @@ def _web_scored_pages_sql() -> str:
     """
 
 
+def _q_web_url_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot crawl diff over two synthesized snapshots: prev =
+    every doc's (url, md5(text)); curr drops every 11th URL ('gone'),
+    rewrites every 7th surviving text ('changed'), and adds a /extra
+    page for every 13th doc ('new') — the rest are 'unchanged'."""
+    from nous_spark.operators.webgraph import url_revisit_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://www.s"),
+        (F.col("doc_id") % 20).cast("string"),
+        F.lit(".co.uk/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    prev = docs.select(
+        url.alias("url"), F.md5(F.col("text")).alias("content_md5")
+    )
+    survivors = docs.filter(F.col("doc_id") % 11 != 0)
+    curr_text = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" updated"))
+    ).otherwise(F.col("text"))
+    curr_base = survivors.select(
+        url.alias("url"), F.md5(curr_text).alias("content_md5")
+    )
+    fresh = docs.filter(F.col("doc_id") % 13 == 0).select(
+        F.concat(url, F.lit("/extra")).alias("url"),
+        F.md5(F.concat(F.col("text"), F.lit(" fresh"))).alias("content_md5"),
+    )
+    return url_revisit_diff(prev, curr_base.unionByName(fresh))
+
+
+def _web_revisit_sqls() -> tuple[str, str]:
+    """DuckDB twins of _q_web_url_revisit's two snapshot syntheses."""
+    prev = (
+        f"SELECT {_WEB_SRC_URL_SQL} AS url, md5(text) AS content_md5 "
+        "FROM documents"
+    )
+    curr = f"""
+        SELECT {_WEB_SRC_URL_SQL} AS url,
+               md5(CASE WHEN doc_id % 7 = 0 THEN text || ' updated'
+                        ELSE text END) AS content_md5
+        FROM documents WHERE doc_id % 11 <> 0
+        UNION ALL
+        SELECT {_WEB_SRC_URL_SQL} || '/extra' AS url,
+               md5(text || ' fresh') AS content_md5
+        FROM documents WHERE doc_id % 13 = 0
+    """
+    return prev, curr
+
+
 def _q_doc_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus composition report (doc/token volumes, exact-dup
     mass, dominant language + share) — the data-card rollup a mixture
@@ -1949,6 +2000,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_domain_pagerank": _q_web_domain_pagerank,
         "web_robots_gate": _q_web_robots_gate,
         "web_domain_quality": _q_web_domain_quality,
+        # web_url_revisit — cross-snapshot crawl diff (C5-anti-join/D4
+        # coalesce shapes in-window via customers_without_orders/
+        # usage_totals_coalesce; snapshot identity = in-window
+        # doc_exact_dedup's md5(text))
+        "web_url_revisit": _q_web_url_revisit,
         # rows-only (non-SQL-expressible: xxhash64 sketch, Python query
         # embedder)
         "doc_simhash_near_dups": _q_simhash_near_dups,
@@ -2843,6 +2899,7 @@ def oracle_sql() -> dict[str, str]:
         "web_domain_quality": _domain_quality_gate_oracle_sql(
             source=_web_scored_pages_sql(), min_mean_score=0.5, min_docs=3
         ),
+        "web_url_revisit": _url_revisit_oracle_sql(*_web_revisit_sqls()),
         "kg_recall_lookup": f"""
             {edges_cte}
             SELECT e.src AS entity_id, hf.pred AS pred, hf.dst AS fact_id,

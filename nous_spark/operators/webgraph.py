@@ -63,6 +63,8 @@ __all__ = [
     "robots_meta",
     "robots_meta_py",
     "robots_meta_oracle_sql",
+    "url_revisit_diff",
+    "url_revisit_diff_oracle_sql",
 ]
 
 
@@ -626,4 +628,68 @@ def domain_quality_gate_oracle_sql(
                 OR stats.domain_mean_score >= CAST('{thr}' AS DOUBLE))
                  AS domain_keep
         FROM base JOIN stats USING (domain)
+    """
+
+
+# ------------------------------------------------ cross-snapshot revisit
+def url_revisit_diff(
+    prev: DataFrame,
+    curr: DataFrame,
+    url_col: str = "url",
+    hash_col: str = "content_md5",
+) -> DataFrame:
+    """Cross-snapshot crawl diff — the re-crawl scheduler's input: for
+    every URL seen in either snapshot, classify
+
+      'new'        in curr only (first fetch)
+      'gone'       in prev only (dead link / dropped from frontier)
+      'unchanged'  both snapshots, same content hash (skip re-process;
+                   the downstream incremental dedup never sees it)
+      'changed'    both snapshots, hash differs (re-extract + re-ingest)
+
+    Returns (url, prev_md5, curr_md5, status). Snapshots are expected
+    URL-unique; duplicate rows are canonicalized deterministically
+    (min hash per URL — never an arbitrary-row dropDuplicates, the
+    repo's determinism rule).
+
+    Scale: two map-side-combinable hash aggs (URL-keyed) feeding ONE
+    full-outer shuffle join co-partitioned on the same url key — at
+    10^10 URLs both sides hash-partition identically, no broadcast,
+    no skew (URLs are unique keys by construction after the agg).
+    """
+    p = prev.groupBy(F.col(url_col).alias("url")).agg(
+        F.min(hash_col).alias("prev_md5")
+    )
+    c = curr.groupBy(F.col(url_col).alias("url")).agg(
+        F.min(hash_col).alias("curr_md5")
+    )
+    status = (
+        F.when(F.col("prev_md5").isNull(), F.lit("new"))
+        .when(F.col("curr_md5").isNull(), F.lit("gone"))
+        .when(F.col("prev_md5") == F.col("curr_md5"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        p.join(c, "url", "full_outer")
+        .select("url", "prev_md5", "curr_md5", status.alias("status"))
+    )
+
+
+def url_revisit_diff_oracle_sql(prev_sql: str, curr_sql: str) -> str:
+    """DuckDB mirror of ``url_revisit_diff``. ``prev_sql``/``curr_sql``
+    are (url, content_md5) relations."""
+    return f"""
+        WITH p AS (
+          SELECT url, min(content_md5) AS prev_md5
+          FROM ({prev_sql}) GROUP BY url
+        ), c AS (
+          SELECT url, min(content_md5) AS curr_md5
+          FROM ({curr_sql}) GROUP BY url
+        )
+        SELECT coalesce(p.url, c.url) AS url, p.prev_md5, c.curr_md5,
+               CASE WHEN p.prev_md5 IS NULL THEN 'new'
+                    WHEN c.curr_md5 IS NULL THEN 'gone'
+                    WHEN p.prev_md5 = c.curr_md5 THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM p FULL OUTER JOIN c ON p.url = c.url
     """

@@ -393,3 +393,60 @@ def test_domain_quality_gate_duckdb_oracle(spark):
         ).fetchall()
     )
     assert got == duck
+
+
+# ---------------------------------------------------------------------------
+# url_revisit_diff: cross-snapshot crawl diff
+# ---------------------------------------------------------------------------
+def test_url_revisit_diff_semantics(spark):
+    from nous_spark.operators.webgraph import url_revisit_diff
+
+    prev = spark.createDataFrame(
+        [
+            ("u1", "h1"),        # unchanged
+            ("u2", "h2"),        # changed
+            ("u3", "h3"),        # gone
+            ("u4", "ha"), ("u4", "hb"),  # dup rows -> min-hash canon
+        ],
+        "url string, content_md5 string",
+    )
+    curr = spark.createDataFrame(
+        [("u1", "h1"), ("u2", "h2x"), ("u4", "ha"), ("u5", "h5")],
+        "url string, content_md5 string",
+    )
+    got = {
+        r["url"]: (r["prev_md5"], r["curr_md5"], r["status"])
+        for r in url_revisit_diff(prev, curr).collect()
+    }
+    assert got == {
+        "u1": ("h1", "h1", "unchanged"),
+        "u2": ("h2", "h2x", "changed"),
+        "u3": ("h3", None, "gone"),
+        "u4": ("ha", "ha", "unchanged"),  # deterministic min canon
+        "u5": (None, "h5", "new"),
+    }
+
+
+def test_url_revisit_diff_duckdb_oracle(spark):
+    from nous_spark.operators.webgraph import (
+        url_revisit_diff,
+        url_revisit_diff_oracle_sql,
+    )
+
+    prev_rows = [("u1", "h1"), ("u2", "h2"), ("u3", "h3")]
+    curr_rows = [("u1", "h1"), ("u2", "zz"), ("u9", "h9")]
+    prev = spark.createDataFrame(prev_rows, "url string, content_md5 string")
+    curr = spark.createDataFrame(curr_rows, "url string, content_md5 string")
+    got = sorted(tuple(r) for r in url_revisit_diff(prev, curr).collect())
+    con = duckdb.connect()
+    con.register("prev_snap", pd.DataFrame(prev_rows, columns=["url", "content_md5"]))
+    con.register("curr_snap", pd.DataFrame(curr_rows, columns=["url", "content_md5"]))
+    duck = sorted(
+        tuple(r)
+        for r in con.execute(
+            url_revisit_diff_oracle_sql(
+                "SELECT * FROM prev_snap", "SELECT * FROM curr_snap"
+            )
+        ).fetchall()
+    )
+    assert got == duck
