@@ -56,6 +56,7 @@ from nous_spark.operators.webgraph import (
     domain_link_graph_oracle_sql as _domain_link_graph_oracle_sql,
     domain_quality_gate_oracle_sql as _domain_quality_gate_oracle_sql,
     link_quality_signals_oracle_sql as _link_quality_signals_oracle_sql,
+    domain_reciprocity_oracle_sql as _domain_reciprocity_oracle_sql,
     robots_meta_oracle_sql as _robots_meta_oracle_sql,
     url_revisit_diff_oracle_sql as _url_revisit_oracle_sql,
 )
@@ -1553,6 +1554,61 @@ def _web_revisit_sqls() -> tuple[str, str]:
     return prev, curr
 
 
+def _q_web_domain_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-link (link-farm) signals over the synthesized domain
+    graph: self links drop as intra-domain, the hub/cdn edges are
+    one-way, and a synthetic link-ring (every s{k}.co.uk linking its
+    (k+1)%20 neighbour both ways via the back-link below) exercises
+    the reciprocity path."""
+    from nous_spark.operators.webgraph import (
+        domain_edges,
+        domain_reciprocity,
+    )
+
+    e = domain_edges(_web_links_with_src(spark, sf_dir))
+    # synthetic ring back-links: sK.co.uk -> s((K+1)%20).co.uk for all K
+    # (derived from the same documents table so all SFs carry it) —
+    # together with the forward direction from (K+1)'s own row the ring
+    # is fully reciprocal.
+    docs = _t(spark, sf_dir, "documents")
+    ring = docs.select(
+        F.concat(
+            F.lit("s"), (F.col("doc_id") % 20).cast("string"), F.lit(".co.uk")
+        ).alias("src"),
+        F.concat(
+            F.lit("s"),
+            ((F.col("doc_id") + 1) % 20).cast("string"),
+            F.lit(".co.uk"),
+        ).alias("dst"),
+    )
+    ring_back = ring.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    return domain_reciprocity(
+        e.unionByName(ring).unionByName(ring_back),
+        src_col="src",
+        dst_col="dst",
+    )
+
+
+def _web_reciprocity_edges_sql() -> str:
+    """DuckDB twin of _q_web_domain_reciprocity's edge synthesis."""
+    ring = (
+        "SELECT 's' || CAST(doc_id % 20 AS VARCHAR) || '.co.uk' AS src, "
+        "'s' || CAST((doc_id + 1) % 20 AS VARCHAR) || '.co.uk' AS dst "
+        "FROM documents"
+    )
+    ring_back = (
+        "SELECT 's' || CAST((doc_id + 1) % 20 AS VARCHAR) || '.co.uk' AS src, "
+        "'s' || CAST(doc_id % 20 AS VARCHAR) || '.co.uk' AS dst "
+        "FROM documents"
+    )
+    return (
+        _domain_edges_oracle_sql(source=_web_links_with_src_sql())
+        + f" UNION ALL {ring} UNION ALL {ring_back}"
+    )
+
+
 def _q_doc_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus composition report (doc/token volumes, exact-dup
     mass, dominant language + share) — the data-card rollup a mixture
@@ -2005,6 +2061,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # usage_totals_coalesce; snapshot identity = in-window
         # doc_exact_dedup's md5(text))
         "web_url_revisit": _q_web_url_revisit,
+        # web_domain_reciprocity — link-farm signal (semi-join/degree-agg
+        # shapes in-window via kg_rag_recall_stored/kg_fact_refcount)
+        "web_domain_reciprocity": _q_web_domain_reciprocity,
         # rows-only (non-SQL-expressible: xxhash64 sketch, Python query
         # embedder)
         "doc_simhash_near_dups": _q_simhash_near_dups,
@@ -2900,6 +2959,9 @@ def oracle_sql() -> dict[str, str]:
             source=_web_scored_pages_sql(), min_mean_score=0.5, min_docs=3
         ),
         "web_url_revisit": _url_revisit_oracle_sql(*_web_revisit_sqls()),
+        "web_domain_reciprocity": _domain_reciprocity_oracle_sql(
+            source=_web_reciprocity_edges_sql(), src_col="src", dst_col="dst"
+        ),
         "kg_recall_lookup": f"""
             {edges_cte}
             SELECT e.src AS entity_id, hf.pred AS pred, hf.dst AS fact_id,

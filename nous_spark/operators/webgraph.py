@@ -65,6 +65,8 @@ __all__ = [
     "robots_meta_oracle_sql",
     "url_revisit_diff",
     "url_revisit_diff_oracle_sql",
+    "domain_reciprocity",
+    "domain_reciprocity_oracle_sql",
 ]
 
 
@@ -692,4 +694,103 @@ def url_revisit_diff_oracle_sql(prev_sql: str, curr_sql: str) -> str:
                     WHEN p.prev_md5 = c.curr_md5 THEN 'unchanged'
                     ELSE 'changed' END AS status
         FROM p FULL OUTER JOIN c ON p.url = c.url
+    """
+
+
+# ------------------------------------------------ domain reciprocity
+def domain_reciprocity(
+    pairs: DataFrame,
+    src_col: str = "src_domain",
+    dst_col: str = "dst_domain",
+) -> DataFrame:
+    """Link-farm signal over the domain graph: reciprocal-link rate per
+    domain. Organic sites earn mostly one-way endorsements; link
+    exchanges and PBN spam rings show out-neighbourhoods where most
+    targets link straight back — the classic TrustRank-era feature a
+    crawl-budget or quality model consumes next to PageRank.
+
+    Input is a (src, dst) domain pair relation (weighted rollup rows
+    fine — pairs are de-duplicated and intra-domain self-loops dropped
+    first). Per domain appearing anywhere in the inter-domain graph:
+
+      out_deg       distinct domains it links to
+      in_deg        distinct domains linking to it
+      n_reciprocal  out-neighbours that link back
+      reciprocity   n_reciprocal / out_deg (NULL when out_deg = 0)
+
+    Scale: the distinct pair set is the sparse domain-pair matrix; the
+    reciprocal check is ONE left-semi self-join on the reversed pair
+    key (hash-partitioned both sides, no broadcast needed, keys unique
+    after distinct); then three map-side-combinable degree aggs merged
+    by full-outer joins on the |domains|-row frames.
+    """
+    e = (
+        pairs.filter(F.col(src_col) != F.col(dst_col))
+        .select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+    )
+    rev = e.select(F.col("dst").alias("r_src"), F.col("src").alias("r_dst"))
+    recip = e.join(
+        rev,
+        (F.col("src") == F.col("r_src")) & (F.col("dst") == F.col("r_dst")),
+        "left_semi",
+    )
+    out_deg = e.groupBy(F.col("src").alias("domain")).agg(
+        F.count("*").alias("out_deg")
+    )
+    in_deg = e.groupBy(F.col("dst").alias("domain")).agg(
+        F.count("*").alias("in_deg")
+    )
+    n_recip = recip.groupBy(F.col("src").alias("domain")).agg(
+        F.count("*").alias("n_reciprocal")
+    )
+    merged = (
+        out_deg.join(in_deg, "domain", "full_outer")
+        .join(n_recip, "domain", "full_outer")
+        .select(
+            "domain",
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+            F.coalesce("n_reciprocal", F.lit(0)).alias("n_reciprocal"),
+        )
+    )
+    return merged.withColumn(
+        "reciprocity",
+        F.when(
+            F.col("out_deg") > 0, F.col("n_reciprocal") / F.col("out_deg")
+        ),
+    )
+
+
+def domain_reciprocity_oracle_sql(
+    source: str, src_col: str = "src_domain", dst_col: str = "dst_domain"
+) -> str:
+    """DuckDB mirror of ``domain_reciprocity``. ``source`` is the
+    (src, dst) domain pair relation."""
+    return f"""
+        WITH e AS (
+          SELECT DISTINCT {src_col} AS src, {dst_col} AS dst
+          FROM ({source}) WHERE {src_col} <> {dst_col}
+        ), recip AS (
+          SELECT x.src, x.dst FROM e x
+          WHERE EXISTS (SELECT 1 FROM e y
+                        WHERE y.src = x.dst AND y.dst = x.src)
+        ), od AS (
+          SELECT src AS domain, count(*) AS out_deg FROM e GROUP BY src
+        ), idg AS (
+          SELECT dst AS domain, count(*) AS in_deg FROM e GROUP BY dst
+        ), nr AS (
+          SELECT src AS domain, count(*) AS n_reciprocal
+          FROM recip GROUP BY src
+        )
+        SELECT coalesce(od.domain, idg.domain, nr.domain) AS domain,
+               coalesce(od.out_deg, 0) AS out_deg,
+               coalesce(idg.in_deg, 0) AS in_deg,
+               coalesce(nr.n_reciprocal, 0) AS n_reciprocal,
+               CASE WHEN coalesce(od.out_deg, 0) > 0
+                    THEN CAST(coalesce(nr.n_reciprocal, 0) AS DOUBLE)
+                         / od.out_deg END AS reciprocity
+        FROM od
+        FULL OUTER JOIN idg ON od.domain = idg.domain
+        FULL OUTER JOIN nr ON coalesce(od.domain, idg.domain) = nr.domain
     """

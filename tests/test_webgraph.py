@@ -450,3 +450,59 @@ def test_url_revisit_diff_duckdb_oracle(spark):
         ).fetchall()
     )
     assert got == duck
+
+
+# ---------------------------------------------------------------------------
+# domain_reciprocity: link-farm signal
+# ---------------------------------------------------------------------------
+RECIP_PAIRS = [
+    # a <-> b reciprocal ring; a -> c one-way; c -> d one-way;
+    # duplicates + a self loop that must be dropped
+    ("a.com", "b.com"), ("b.com", "a.com"), ("b.com", "a.com"),
+    ("a.com", "c.com"), ("c.com", "d.com"), ("a.com", "a.com"),
+]
+
+
+def test_domain_reciprocity_semantics(spark):
+    from nous_spark.operators.webgraph import domain_reciprocity
+
+    pairs = spark.createDataFrame(
+        RECIP_PAIRS, "src_domain string, dst_domain string"
+    )
+    got = {
+        r["domain"]: (
+            r["out_deg"], r["in_deg"], r["n_reciprocal"], r["reciprocity"]
+        )
+        for r in domain_reciprocity(pairs).collect()
+    }
+    assert got["a.com"] == (2, 1, 1, 0.5)   # -> b (recip), -> c; self loop dropped
+    assert got["b.com"] == (1, 1, 1, 1.0)   # dup edge counted once
+    assert got["c.com"] == (1, 1, 0, 0.0)
+    assert got["d.com"] == (0, 1, 0, None)  # sink: no out edges -> NULL rate
+    assert len(got) == 4
+
+
+def test_domain_reciprocity_duckdb_oracle(spark):
+    from nous_spark.operators.webgraph import (
+        domain_reciprocity,
+        domain_reciprocity_oracle_sql,
+    )
+
+    pairs = spark.createDataFrame(
+        RECIP_PAIRS, "src_domain string, dst_domain string"
+    )
+    got = sorted(tuple(r) for r in domain_reciprocity(pairs).collect())
+    con = duckdb.connect()
+    con.register(
+        "pair_rows",
+        pd.DataFrame(RECIP_PAIRS, columns=["src_domain", "dst_domain"]),
+    )
+    duck = sorted(
+        tuple(r)
+        for r in con.execute(
+            domain_reciprocity_oracle_sql(
+                source="SELECT src_domain, dst_domain FROM pair_rows"
+            )
+        ).fetchall()
+    )
+    assert got == duck
