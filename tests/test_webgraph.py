@@ -506,3 +506,41 @@ def test_domain_reciprocity_duckdb_oracle(spark):
         ).fetchall()
     )
     assert got == duck
+
+
+# ---------------------------------------------------------------------------
+# web -> KG bridge: mined anchors are alias identifiers
+# ---------------------------------------------------------------------------
+def test_anchor_profiles_feed_entity_linking(spark):
+    """The tier's thesis end-to-end: crawl HTML -> html_links ->
+    anchor_text_profiles -> dominant anchors as 'aliases' identifier
+    values -> the existing MinHash-LSH alias discovery
+    (linking.lsh_alias_candidates) links the two URL-entities whose
+    dominant anchors are near-identical strings, and never touches the
+    unrelated one."""
+    from nous_spark.linking import lsh_alias_candidates
+    from nous_spark.operators.text import html_links
+    from nous_spark.operators.webgraph import anchor_text_profiles
+
+    a = '<a href="https://ibm.com/">International Business Machines</a>'
+    b = ('<a href="https://ibm.co.uk/">International Business Machines'
+         " Corp</a>")
+    c = '<a href="https://unrelated.org/">Quantum Bakery</a>'
+    pages = spark.createDataFrame(
+        [(1, a), (2, a), (3, a), (4, b), (5, b), (6, b), (7, c), (8, c)],
+        "doc_id long, html string",
+    )
+    profiles = anchor_text_profiles(html_links(pages))
+    identifiers = profiles.filter(F.col("top_anchor").isNotNull()).select(
+        F.col("href").alias("anchor_id"),
+        F.lit("aliases").alias("id_type"),
+        F.col("top_anchor").alias("id_value"),
+    )
+    pairs = [
+        (r["src"], r["dst"], r["sim"])
+        for r in lsh_alias_candidates(identifiers, threshold=0.5).collect()
+    ]
+    assert len(pairs) == 1
+    src, dst, sim = pairs[0]
+    assert {src, dst} == {"https://ibm.com/", "https://ibm.co.uk/"}
+    assert sim >= 0.5
