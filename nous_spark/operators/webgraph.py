@@ -722,12 +722,19 @@ def domain_reciprocity(
     reciprocal check is ONE left-semi self-join on the reversed pair
     key (hash-partitioned both sides, no broadcast needed, keys unique
     after distinct); then three map-side-combinable degree aggs merged
-    by full-outer joins on the |domains|-row frames.
+    by full-outer joins on the |domains|-row frames. The pair set has
+    FOUR consumers (both semi-join sides + two degree aggs), so it is
+    persisted once and the result localCheckpointed eagerly so the
+    cache can be unpersisted before returning (the repo's eager-return
+    multi-consumer discipline) — without it the input relation is
+    re-scanned and re-deduplicated per consumer (plan-audited:
+    13 exchanges -> the persisted shape).
     """
     e = (
         pairs.filter(F.col(src_col) != F.col(dst_col))
         .select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .distinct()
+        .persist()
     )
     rev = e.select(F.col("dst").alias("r_src"), F.col("src").alias("r_dst"))
     recip = e.join(
@@ -754,12 +761,14 @@ def domain_reciprocity(
             F.coalesce("n_reciprocal", F.lit(0)).alias("n_reciprocal"),
         )
     )
-    return merged.withColumn(
+    out = merged.withColumn(
         "reciprocity",
         F.when(
             F.col("out_deg") > 0, F.col("n_reciprocal") / F.col("out_deg")
         ),
-    )
+    ).localCheckpoint()
+    e.unpersist()
+    return out
 
 
 def domain_reciprocity_oracle_sql(
