@@ -544,3 +544,43 @@ def test_anchor_profiles_feed_entity_linking(spark):
     src, dst, sim = pairs[0]
     assert {src, dst} == {"https://ibm.com/", "https://ibm.co.uk/"}
     assert sim >= 0.5
+
+
+# ---------------------------------------------------------------------------
+# scale defense: mega-URL anchor fan-in
+# ---------------------------------------------------------------------------
+def test_anchor_profiles_mega_href_fan_in(spark):
+    """The 100 TB failure mode for anchor mining: one viral URL with
+    ~n inbound links (here 60k links, 1k distinct anchor variants onto
+    ONE href plus a long tail). WindowGroupLimit's partial top-1 keeps
+    the per-task state at one row per (href) and the exchange under the
+    window carries at most n_map_partitions rows per href — the job
+    must stay sub-linear in the hot href's fan-in and the counts must
+    stay exact."""
+    from nous_spark.operators.webgraph import anchor_text_profiles
+
+    n_hot, n_variants, n_tail = 60_000, 1_000, 500
+    hot = spark.range(n_hot).select(
+        F.col("id").alias("doc_id"),
+        F.lit("https://viral.example/").alias("href"),
+        # variant v = id % 1000; anchor 'a0000'..'a0999'; v==0 doubled
+        # via the tail below never — frequency is uniform 60 each, tie
+        # broken to the lexicographically smallest 'a0000'
+        F.format_string("a%04d", (F.col("id") % n_variants)).alias("anchor"),
+    )
+    tail = spark.range(n_tail).select(
+        (F.col("id") + n_hot).alias("doc_id"),
+        F.format_string("https://t%d.example/", F.col("id")).alias("href"),
+        F.lit("tail anchor").alias("anchor"),
+    )
+    prof = anchor_text_profiles(hot.unionByName(tail)).persist()
+    hot_row = prof.filter(F.col("href") == "https://viral.example/").collect()
+    assert len(hot_row) == 1
+    r = hot_row[0]
+    assert r["n_inlinks"] == n_hot
+    assert r["n_src_docs"] == n_hot
+    assert r["n_distinct_anchors"] == n_variants
+    # uniform 60-per-variant tie -> smallest anchor wins deterministically
+    assert r["top_anchor"] == "a0000" and r["top_anchor_count"] == n_hot // n_variants
+    assert prof.count() == 1 + n_tail
+    prof.unpersist()
