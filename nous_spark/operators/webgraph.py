@@ -652,7 +652,11 @@ def url_revisit_diff(
     Returns (url, prev_md5, curr_md5, status). Snapshots are expected
     URL-unique; duplicate rows are canonicalized deterministically
     (min hash per URL — never an arbitrary-row dropDuplicates, the
-    repo's determinism rule).
+    repo's determinism rule). NULL content hashes (a fetched-but-empty
+    page) are coalesced to '' BEFORE the min/compare — otherwise
+    min() skips them (both engines) and a URL whose only hash is NULL
+    silently reads as absent from its snapshot ('new'/'gone' instead
+    of 'unchanged'/'changed').
 
     Scale: two map-side-combinable hash aggs (URL-keyed) feeding ONE
     full-outer shuffle join co-partitioned on the same url key — at
@@ -660,10 +664,10 @@ def url_revisit_diff(
     no skew (URLs are unique keys by construction after the agg).
     """
     p = prev.groupBy(F.col(url_col).alias("url")).agg(
-        F.min(hash_col).alias("prev_md5")
+        F.min(F.coalesce(F.col(hash_col), F.lit(""))).alias("prev_md5")
     )
     c = curr.groupBy(F.col(url_col).alias("url")).agg(
-        F.min(hash_col).alias("curr_md5")
+        F.min(F.coalesce(F.col(hash_col), F.lit(""))).alias("curr_md5")
     )
     status = (
         F.when(F.col("prev_md5").isNull(), F.lit("new"))
@@ -682,10 +686,10 @@ def url_revisit_diff_oracle_sql(prev_sql: str, curr_sql: str) -> str:
     are (url, content_md5) relations."""
     return f"""
         WITH p AS (
-          SELECT url, min(content_md5) AS prev_md5
+          SELECT url, min(coalesce(content_md5, '')) AS prev_md5
           FROM ({prev_sql}) GROUP BY url
         ), c AS (
-          SELECT url, min(content_md5) AS curr_md5
+          SELECT url, min(coalesce(content_md5, '')) AS curr_md5
           FROM ({curr_sql}) GROUP BY url
         )
         SELECT coalesce(p.url, c.url) AS url, p.prev_md5, c.curr_md5,

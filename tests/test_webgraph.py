@@ -407,11 +407,13 @@ def test_url_revisit_diff_semantics(spark):
             ("u2", "h2"),        # changed
             ("u3", "h3"),        # gone
             ("u4", "ha"), ("u4", "hb"),  # dup rows -> min-hash canon
+            ("u6", None),        # NULL hash must still count as present
         ],
         "url string, content_md5 string",
     )
     curr = spark.createDataFrame(
-        [("u1", "h1"), ("u2", "h2x"), ("u4", "ha"), ("u5", "h5")],
+        [("u1", "h1"), ("u2", "h2x"), ("u4", "ha"), ("u5", "h5"),
+         ("u6", None)],
         "url string, content_md5 string",
     )
     got = {
@@ -424,6 +426,7 @@ def test_url_revisit_diff_semantics(spark):
         "u3": ("h3", None, "gone"),
         "u4": ("ha", "ha", "unchanged"),  # deterministic min canon
         "u5": (None, "h5", "new"),
+        "u6": ("", "", "unchanged"),  # NULL -> '' sentinel, not 'new'
     }
 
 
