@@ -22,16 +22,25 @@ Scale notes (the 100 TB question, per operator):
   WindowGroupLimit (Partial+Final — each map task forwards only its
   own best row per href, so the exchange under the window carries
   O(n_map_partitions) rows per href, never the raw fan-in of a
-  mega-URL). Same shape as ``curation.corpus_datacard``'s
-  language-mode branch; no hot-key cap needed because no pairs are
-  ever generated.
+  mega-URL; scale-tested on a 60k-fan-in viral href). Same shape as
+  ``curation.corpus_datacard``'s language-mode branch; no hot-key cap
+  needed because no pairs are ever generated.
 - ``domain_link_graph`` / ``domain_edges``: stateless per-row domain
   projection followed by one hash agg keyed on (src_domain,
   dst_domain) — output cardinality is the sparse domain-pair matrix
   (~10^7 at web scale), tiny next to the input edge list.
-- ``link_quality_signals``: a pure codegen Column chain (regexp
-  extraction + higher-order array functions) — zero exchanges, zero
-  Python workers, plan-gated in pytest like ``html_extract``.
+- ``link_quality_signals`` / ``robots_meta``: pure codegen Column
+  chains (regexp extraction + higher-order array functions) — zero
+  exchanges, zero Python workers, plan-gated in pytest like
+  ``html_extract``; both proven stream==batch (ingest-time stamping).
+- ``domain_quality_gate``: one partial-agg exchange down to |domains|
+  rows, stats joined back under AQE (never force-broadcast — the
+  stats side is corpus-derived).
+- ``url_revisit_diff``: two URL-keyed partial aggs + ONE co-partitioned
+  full-outer join; no broadcast, no skew (URLs unique post-agg).
+- ``domain_reciprocity``: distinct pair set persisted once (four
+  consumers), one reversed-pair semi self-join, three degree aggs on
+  |domains|-row frames; eager-return localCheckpoint discipline.
 """
 
 from __future__ import annotations
@@ -250,10 +259,11 @@ def domain_link_graph(
     is intra-domain (self-loop — site navigation; inter-domain edges
     are the endorsement signal rankers use).
 
-    Scale: stateless domain projection + ONE hash agg keyed on the
-    domain pair (map-side combine collapses a site's internal links
-    inside each scan task; the exchange carries only the sparse pair
-    matrix). countDistinct(src_url) rides the same agg via Expand.
+    Scale: stateless domain projection + the exact-countDistinct
+    two-phase (plan-audited): partial agg keyed (pair, url) so a
+    page's duplicate links combine map-side before any exchange, then
+    the pair-keyed merge — both exchanges carry partial-aggregated
+    rows only.
     """
     e = links.select(
         _domain_col(F.col(src_url_col)).alias("src_domain"),
@@ -352,7 +362,9 @@ def link_quality_signals(
         F.regexp_extract_all(raw, pat, F.lit(2)), lambda a: clean_anchor(a)
     )
     doms = F.transform(hrefs, lambda x: _domain_col(x))
-    page_dom = _domain_col(F.col(url_col))
+    # NULL url coalesces to '' so page_dom matches the Python
+    # reference's ''-domain (a NULL would silently zero n_intra_links)
+    page_dom = _domain_col(F.coalesce(F.col(url_col), F.lit("")))
     n_links = F.size(hrefs).cast("long")
     n_intra = F.size(F.filter(doms, lambda d: d == page_dom)).cast("long")
     anchor_chars = F.aggregate(
@@ -437,7 +449,7 @@ def link_quality_signals_oracle_sql(
     )
     link_re = _HTML_LINK_RE.replace("'", "''")
     dom_of_href = _domain_sql(_host_sql(href_e))
-    page_dom = _url_domain_sql("url")
+    page_dom = _url_domain_sql("coalesce(url, '')")
     return f"""
         WITH base AS (
           SELECT {id_col}, url, coalesce(html, '') AS raw,

@@ -39,6 +39,9 @@ PAGE_CASES = [
      '<a href="HTTPS://E.com/up">upper scheme</a>'
      '<a href="https://e.com/i"><img src="x.png"/></a>',
      ""),
+    # NULL url: page domain is the '' bucket, so the relative link is
+    # intra — identical in Spark, DuckDB and the Python reference
+    (6, None, '<a href="/rel">r</a><a href="https://f.com/">f</a>', "t"),
 ]
 
 
@@ -74,6 +77,8 @@ def test_link_quality_signals_matches_python_reference(spark):
     # cleans to '' so contributes 0 chars
     n, nd, ni, frac, ac, acf = got[5]
     assert (n, nd, ni) == (2, 2, 1) and ac == len("upper scheme")
+    # NULL url -> '' page domain: the relative link counts as intra
+    assert got[6][:4] == (2, 2, 1, 0.5)
 
 
 def test_link_quality_signals_duckdb_oracle_on_adversarial_corpus(spark):
