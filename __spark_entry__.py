@@ -57,6 +57,7 @@ from nous_spark.operators.webgraph import (
     domain_quality_gate_oracle_sql as _domain_quality_gate_oracle_sql,
     link_quality_signals_oracle_sql as _link_quality_signals_oracle_sql,
     domain_reciprocity_oracle_sql as _domain_reciprocity_oracle_sql,
+    latest_snapshot_oracle_sql as _latest_snapshot_oracle_sql,
     robots_meta_oracle_sql as _robots_meta_oracle_sql,
     url_revisit_diff_oracle_sql as _url_revisit_oracle_sql,
 )
@@ -1609,6 +1610,64 @@ def _web_reciprocity_edges_sql() -> str:
     )
 
 
+def _q_web_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-snapshot collapse over synthesized captures: every URL is
+    fetched 1 + doc_id%3 times (warc_ts = a doc-derived base instant
+    plus k hours, text suffixed ' v{k}'), plus an exact-timestamp tie
+    pair on every 10th doc (same ts, ' tieA'/' tieB' texts) resolved by
+    the md5 rule — only the newest capture survives per URL."""
+    from nous_spark.operators.webgraph import latest_snapshot
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://www.s"),
+        (F.col("doc_id") % 20).cast("string"),
+        F.lit(".co.uk/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    base_ts = F.to_timestamp(F.lit("2024-01-01 00:00:00")) + F.make_interval(
+        days=(F.col("doc_id") % 97).cast("int")
+    )
+    snaps = None
+    for k in range(3):
+        s = docs.filter(F.col("doc_id") % 3 >= k).select(
+            url.alias("url"),
+            (base_ts + F.make_interval(hours=F.lit(k))).alias("warc_ts"),
+            F.concat(F.col("text"), F.lit(f" v{k}")).alias("text"),
+        )
+        snaps = s if snaps is None else snaps.unionByName(s)
+    ties = docs.filter(F.col("doc_id") % 10 == 0)
+    for suffix in (" tieA", " tieB"):
+        snaps = snaps.unionByName(
+            ties.select(
+                url.alias("url"),
+                (base_ts + F.make_interval(hours=F.lit(9))).alias("warc_ts"),
+                F.concat(F.col("text"), F.lit(suffix)).alias("text"),
+            )
+        )
+    return latest_snapshot(snaps)
+
+
+def _web_snapshots_source_sql() -> str:
+    """DuckDB twin of _q_web_latest_snapshot's capture synthesis."""
+    url = _WEB_SRC_URL_SQL
+    base = (
+        "TIMESTAMP '2024-01-01 00:00:00' "
+        "+ to_days(CAST(doc_id % 97 AS INTEGER))"
+    )
+    parts = [
+        f"SELECT {url} AS url, {base} + to_hours({k}) AS warc_ts, "
+        f"text || ' v{k}' AS text FROM documents WHERE doc_id % 3 >= {k}"
+        for k in range(3)
+    ]
+    parts += [
+        f"SELECT {url} AS url, {base} + to_hours(9) AS warc_ts, "
+        f"text || ' {t}' AS text FROM documents WHERE doc_id % 10 = 0"
+        for t in ("tieA", "tieB")
+    ]
+    return " UNION ALL ".join(parts)
+
+
 def _q_doc_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus composition report (doc/token volumes, exact-dup
     mass, dominant language + share) — the data-card rollup a mixture
@@ -2064,6 +2123,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # web_domain_reciprocity — link-farm signal (semi-join/degree-agg
         # shapes in-window via kg_rag_recall_stored/kg_fact_refcount)
         "web_domain_reciprocity": _q_web_domain_reciprocity,
+        # web_latest_snapshot — multi-capture collapse (E3 ranked-pick
+        # shape in-window via ranked_pick_latest_order)
+        "web_latest_snapshot": _q_web_latest_snapshot,
         # rows-only (non-SQL-expressible: xxhash64 sketch, Python query
         # embedder)
         "doc_simhash_near_dups": _q_simhash_near_dups,
@@ -2961,6 +3023,9 @@ def oracle_sql() -> dict[str, str]:
         "web_url_revisit": _url_revisit_oracle_sql(*_web_revisit_sqls()),
         "web_domain_reciprocity": _domain_reciprocity_oracle_sql(
             source=_web_reciprocity_edges_sql(), src_col="src", dst_col="dst"
+        ),
+        "web_latest_snapshot": _latest_snapshot_oracle_sql(
+            source=_web_snapshots_source_sql()
         ),
         "kg_recall_lookup": f"""
             {edges_cte}

@@ -76,6 +76,8 @@ __all__ = [
     "url_revisit_diff_oracle_sql",
     "domain_reciprocity",
     "domain_reciprocity_oracle_sql",
+    "latest_snapshot",
+    "latest_snapshot_oracle_sql",
 ]
 
 
@@ -818,4 +820,59 @@ def domain_reciprocity_oracle_sql(
         FROM od
         FULL OUTER JOIN idg ON od.domain = idg.domain
         FULL OUTER JOIN nr ON coalesce(od.domain, idg.domain) = nr.domain
+    """
+
+
+# ------------------------------------------------ latest-snapshot pick
+def latest_snapshot(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Multi-snapshot collapse — the FIRST preprocessing step of a
+    Common-Crawl-style corpus: a URL fetched in several crawls keeps
+    only its newest capture, so every downstream identity (extracted
+    text, dedup hashes, link graph) sees one row per URL. Pick rule:
+    max ``warc_ts`` per URL; exact-timestamp ties break to the smallest
+    md5 of the text (deterministic cross-engine — never an
+    arbitrary-row dropDuplicates, the repo's determinism rule).
+
+    Returns (url, warc_ts, text) of the surviving capture.
+
+    Scale: top-1-per-url row_number that Spark 4 plans as
+    WindowGroupLimit (Partial+Final — each map task forwards one row
+    per URL before the exchange); snapshot fan-in per URL is crawl
+    count (~dozens), never data-sized.
+    """
+    order_md5 = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    w = Window.partitionBy(url_col).orderBy(
+        F.col(ts_col).desc(), order_md5.asc()
+    )
+    return (
+        pages.select(url_col, ts_col, text_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def latest_snapshot_oracle_sql(
+    source: str,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+) -> str:
+    """DuckDB mirror of ``latest_snapshot``. ``source`` is the
+    (url, warc_ts, text) relation; same ts-desc/md5-asc pick rule."""
+    return f"""
+        WITH ranked AS (
+          SELECT {url_col}, {ts_col}, {text_col},
+                 row_number() OVER (
+                   PARTITION BY {url_col}
+                   ORDER BY {ts_col} DESC,
+                            md5(coalesce({text_col}, ''))) AS rn
+          FROM ({source})
+        )
+        SELECT {url_col}, {ts_col}, {text_col} FROM ranked WHERE rn = 1
     """

@@ -592,3 +592,68 @@ def test_anchor_profiles_mega_href_fan_in(spark):
     assert r["top_anchor"] == "a0000" and r["top_anchor_count"] == n_hot // n_variants
     assert prof.count() == 1 + n_tail
     prof.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# latest_snapshot: multi-capture collapse
+# ---------------------------------------------------------------------------
+def test_latest_snapshot_semantics(spark):
+    from datetime import datetime
+
+    from nous_spark.operators.webgraph import latest_snapshot
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    t1 = datetime(2024, 1, 1, 1, 0, 0)
+    rows = [
+        ("u1", t0, "old"), ("u1", t1, "new"),        # newest wins
+        ("u2", t0, "only"),                          # singleton passes
+        # exact-ts tie -> smallest md5(text) wins deterministically
+        ("u3", t1, "alpha"), ("u3", t1, "beta"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, warc_ts timestamp, text string")
+    got = {
+        r["url"]: (r["warc_ts"], r["text"])
+        for r in latest_snapshot(pages).collect()
+    }
+    import hashlib
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    tie_winner = min(["alpha", "beta"], key=md5)
+    assert got == {"u1": (t1, "new"), "u2": (t0, "only"), "u3": (t1, tie_winner)}
+
+
+def test_latest_snapshot_duckdb_oracle(spark):
+    from datetime import datetime
+
+    from nous_spark.operators.webgraph import (
+        latest_snapshot,
+        latest_snapshot_oracle_sql,
+    )
+
+    rows = [
+        ("u1", datetime(2024, 1, 1, 0), "a"),
+        ("u1", datetime(2024, 1, 2, 0), "b"),
+        ("u2", datetime(2024, 1, 1, 5), "c"),
+        ("u2", datetime(2024, 1, 1, 5), "d"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, warc_ts timestamp, text string")
+    got = sorted((r["url"], str(r["warc_ts"]), r["text"])
+                 for r in latest_snapshot(pages).collect())
+    con = duckdb.connect()
+    con.register("snaps", pd.DataFrame(rows, columns=["url", "warc_ts", "text"]))
+    duck = sorted((u, str(t), x) for u, t, x in con.execute(
+        latest_snapshot_oracle_sql(source="SELECT * FROM snaps")
+    ).fetchall())
+    assert got == duck
+
+
+def test_latest_snapshot_plan_uses_window_group_limit(spark):
+    from datetime import datetime
+
+    from nous_spark.operators.webgraph import latest_snapshot
+
+    pages = spark.createDataFrame(
+        [("u1", datetime(2024, 1, 1), "t")],
+        "url string, warc_ts timestamp, text string",
+    )
+    plan = latest_snapshot(pages)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
