@@ -591,9 +591,12 @@ def domain_quality_gate(
     at the 10^9-page corpus the gate exists for). Mean is
     order-dependent double math: rounded to 4 (repo convention).
     """
+    # NULL urls coalesce to '' so their docs land in the ''-domain
+    # bucket instead of silently vanishing through the NULL-unsafe
+    # domain equi-join (both engines drop NULL=NULL matches)
     base = docs_scored.select(
         F.col(id_col),
-        _domain_col(F.col(url_col)).alias("domain"),
+        _domain_col(F.coalesce(F.col(url_col), F.lit(""))).alias("domain"),
         F.col(score_col).cast("double").alias("_s"),
     )
     stats = base.groupBy("domain").agg(
@@ -629,7 +632,7 @@ def domain_quality_gate_oracle_sql(
     return f"""
         WITH base AS (
           SELECT {id_col},
-                 {_url_domain_sql("url")} AS domain,
+                 {_url_domain_sql("coalesce(url, '')")} AS domain,
                  CAST(quality_score AS DOUBLE) AS _s
           FROM ({source})
         ), stats AS (

@@ -337,6 +337,8 @@ SCORED = [
     (9, "https://edge.com/1", 0.5),
     (10, "https://edge.com/2", 0.5),
     (11, "https://edge.com/3", 0.5),
+    # NULL url -> '' bucket (must NOT vanish through the domain join)
+    (12, None, 0.9),
 ]
 
 
@@ -365,6 +367,8 @@ def test_domain_quality_gate_semantics(spark):
     assert got[7] == ("tiny.io", 2, 0.15, True)
     # mean == threshold -> kept
     assert got[9] == ("edge.com", 3, 0.5, True)
+    # NULL url survives in the '' bucket (1 doc < min_docs -> kept)
+    assert got[12] == ("", 1, 0.9, True)
 
 
 def test_domain_quality_gate_duckdb_oracle(spark):
