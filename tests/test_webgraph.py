@@ -661,3 +661,39 @@ def test_latest_snapshot_plan_uses_window_group_limit(spark):
     )
     plan = latest_snapshot(pages)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_html_links_compose_with_streaming(spark, tmp_path):
+    """Link extraction is a stateless generate+project (see
+    html_links' plan gate), so web-graph edges can be emitted AT INGEST
+    on a readStream frame — together with robots_meta and
+    link_quality_signals the whole crawl-ingest chain streams.
+    Stream == batch."""
+    from nous_spark.operators.text import html_links
+
+    src = str(tmp_path / "links_src")
+    pages = spark.createDataFrame(
+        [
+            (1, '<a href="https://a.com/?x=1&amp;y=2">A &amp; B</a>'),
+            (2, '<a href="u1">one <b>bold</b></a><a href="">empty</a>'),
+            (3, None),
+        ],
+        "doc_id long, html string",
+    )
+    pages.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("doc_id long, html string").parquet(src)
+    q = (
+        html_links(stream)
+        .writeStream.format("memory")
+        .queryName("links_stream_q")
+        .option("checkpointLocation", str(tmp_path / "cp_links"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        tuple(r) for r in spark.sql("select * from links_stream_q").collect()
+    )
+    want = sorted(tuple(r) for r in html_links(pages).collect())
+    assert got == want and len(want) == 3
