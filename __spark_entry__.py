@@ -1257,10 +1257,7 @@ def _html_links_source_sql() -> str:
 def _web_synth_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     sid = (F.col("doc_id") % 20).cast("string")
-    did = F.col("doc_id").cast("string")
-    url = F.concat(
-        F.lit("https://www.s"), sid, F.lit(".co.uk/p/"), did
-    )
+    url = _web_url_col()
     hub_anchor = (
         F.when(F.col("doc_id") % 2 == 0, F.lit("Example &amp; <b>News</b>"))
         .otherwise(F.lit("news hub"))
@@ -1324,6 +1321,17 @@ _WEB_SRC_URL_SQL = (
 )
 
 
+def _web_url_col():
+    """Spark twin of ``_WEB_SRC_URL_SQL`` — the ONE synthesized
+    page-URL shape every web_* query shares (edit both together)."""
+    return F.concat(
+        F.lit("https://www.s"),
+        (F.col("doc_id") % 20).cast("string"),
+        F.lit(".co.uk/p/"),
+        F.col("doc_id").cast("string"),
+    )
+
+
 def _web_links_with_src(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, link_no, href, anchor, src_url) — html_links over the
     synthesized pages; src_url is re-derived from doc_id (pure
@@ -1332,13 +1340,7 @@ def _web_links_with_src(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pages = _web_synth_pages(spark, sf_dir)
     links = html_links(pages.select("doc_id", "html"))
-    src_url = F.concat(
-        F.lit("https://www.s"),
-        (F.col("doc_id") % 20).cast("string"),
-        F.lit(".co.uk/p/"),
-        F.col("doc_id").cast("string"),
-    )
-    return links.withColumn("src_url", src_url)
+    return links.withColumn("src_url", _web_url_col())
 
 
 def _web_links_with_src_sql() -> str:
@@ -1464,12 +1466,7 @@ def _q_web_domain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     qs = quality_score_cols(F.col("text"))
-    url = F.concat(
-        F.lit("https://www.s"),
-        (F.col("doc_id") % 20).cast("string"),
-        F.lit(".co.uk/p/"),
-        F.col("doc_id").cast("string"),
-    )
+    url = _web_url_col()
     scored = docs.select(
         "doc_id",
         url.alias("url"),
@@ -1480,27 +1477,40 @@ def _q_web_domain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _web_scored_pages_sql() -> str:
-    """DuckDB twin of _q_web_domain_quality's (doc_id, url, score)
-    synthesis — the score CTEs mirror text.quality_score_cols exactly
-    as in the doc_quality_filter oracle."""
-    return rf"""
-        WITH q AS (
-          SELECT doc_id,
-                 {_WEB_SRC_URL_SQL} AS url,
-                 length(regexp_split_to_array(trim(text), '\s+')) AS words,
+def _quality_score_sql_parts() -> tuple[str, str]:
+    """(feature_cols, score_expr): the ONE DuckDB rendering of
+    text.quality_score_cols — the words/awl/punct feature columns and
+    the banded score sum. Folded into BOTH the doc_quality_filter and
+    web_domain_quality oracles so the formula can never drift between
+    them (edit quality_score_cols, then this, never the callers)."""
+    feature_cols = r"""length(regexp_split_to_array(trim(text), '\s+')) AS words,
                  round(length(regexp_replace(text, '\s', '', 'g'))
                        / length(regexp_split_to_array(trim(text), '\s+')), 4) AS awl,
                  round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
-                       / length(text), 4) AS punct
+                       / length(text), 4) AS punct"""
+    score_expr = (
+        "(CASE WHEN words BETWEEN 10 AND 100000 THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END"
+        "\n                      + CASE WHEN awl >= 3.0 AND awl <= 12.0 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END"
+        "\n                      + CASE WHEN punct > 0.0 THEN 0.2::DOUBLE ELSE 0.0::DOUBLE END"
+        "\n                      + CASE WHEN punct <= 0.1 THEN 0.1::DOUBLE ELSE 0.0::DOUBLE END)"
+    )
+    return feature_cols, score_expr
+
+
+def _web_scored_pages_sql() -> str:
+    """DuckDB twin of _q_web_domain_quality's (doc_id, url, score)
+    synthesis — the score SQL comes from the shared
+    ``_quality_score_sql_parts`` generator."""
+    feature_cols, score_expr = _quality_score_sql_parts()
+    return f"""
+        WITH q AS (
+          SELECT doc_id,
+                 {_WEB_SRC_URL_SQL} AS url,
+                 {feature_cols}
           FROM documents
         )
         SELECT doc_id, url,
-               round(CASE WHEN words BETWEEN 10 AND 100000 THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END
-                     + CASE WHEN awl >= 3.0 AND awl <= 12.0 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END
-                     + CASE WHEN punct > 0.0 THEN 0.2::DOUBLE ELSE 0.0::DOUBLE END
-                     + CASE WHEN punct <= 0.1 THEN 0.1::DOUBLE ELSE 0.0::DOUBLE END, 2)
-                 AS quality_score
+               round({score_expr}, 2) AS quality_score
         FROM q
     """
 
@@ -1513,12 +1523,7 @@ def _q_web_url_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nous_spark.operators.webgraph import url_revisit_diff
 
     docs = _t(spark, sf_dir, "documents")
-    url = F.concat(
-        F.lit("https://www.s"),
-        (F.col("doc_id") % 20).cast("string"),
-        F.lit(".co.uk/p/"),
-        F.col("doc_id").cast("string"),
-    )
+    url = _web_url_col()
     prev = docs.select(
         url.alias("url"), F.md5(F.col("text")).alias("content_md5")
     )
@@ -1619,12 +1624,7 @@ def _q_web_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nous_spark.operators.webgraph import latest_snapshot
 
     docs = _t(spark, sf_dir, "documents")
-    url = F.concat(
-        F.lit("https://www.s"),
-        (F.col("doc_id") % 20).cast("string"),
-        F.lit(".co.uk/p/"),
-        F.col("doc_id").cast("string"),
-    )
+    url = _web_url_col()
     base_ts = F.to_timestamp(F.lit("2024-01-01 00:00:00")) + F.make_interval(
         days=(F.col("doc_id") % 97).cast("int")
     )
@@ -1871,21 +1871,15 @@ def _build_curation_pipeline_sql() -> str:
     )
     langs = ", ".join(f"'{k}'" for k in sorted(_MIX_WEIGHTS))
     draw = "('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 8))::BIGINT"
+    feature_cols, score_expr = _quality_score_sql_parts()
     return rf"""
         WITH q AS (
           SELECT doc_id,
-                 length(regexp_split_to_array(trim(text), '\s+')) AS words,
-                 round(length(regexp_replace(text, '\s', '', 'g'))
-                       / length(regexp_split_to_array(trim(text), '\s+')), 4) AS awl,
-                 round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
-                       / length(text), 4) AS punct
+                 {feature_cols}
           FROM documents
         ), s AS (
           SELECT doc_id,
-                 (CASE WHEN words BETWEEN 10 AND 100000 THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END
-                  + CASE WHEN awl >= 3.0 AND awl <= 12.0 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END
-                  + CASE WHEN punct > 0.0 THEN 0.2::DOUBLE ELSE 0.0::DOUBLE END
-                  + CASE WHEN punct <= 0.1 THEN 0.1::DOUBLE ELSE 0.0::DOUBLE END) AS score
+                 {score_expr} AS score
           FROM q
         ), base AS (
           SELECT d.doc_id, d.lang, d.text
@@ -3682,21 +3676,14 @@ def oracle_sql() -> dict[str, str]:
             FROM edges WHERE edge_type = 'HAS_FACT'
             GROUP BY dst
         """,
-        "doc_quality_filter": r"""
+        "doc_quality_filter": f"""
             WITH q AS (
               SELECT doc_id,
-                     length(regexp_split_to_array(trim(text), '\s+')) AS words,
-                     round(length(regexp_replace(text, '\s', '', 'g'))
-                           / length(regexp_split_to_array(trim(text), '\s+')), 4) AS awl,
-                     round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
-                           / length(text), 4) AS punct
+                     {_quality_score_sql_parts()[0]}
               FROM documents
             ), s AS (
               SELECT doc_id,
-                     (CASE WHEN words BETWEEN 10 AND 100000 THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END
-                      + CASE WHEN awl >= 3.0 AND awl <= 12.0 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END
-                      + CASE WHEN punct > 0.0 THEN 0.2::DOUBLE ELSE 0.0::DOUBLE END
-                      + CASE WHEN punct <= 0.1 THEN 0.1::DOUBLE ELSE 0.0::DOUBLE END) AS score
+                     {_quality_score_sql_parts()[1]} AS score
               FROM q
             )
             SELECT doc_id, round(score, 2) AS quality_score,

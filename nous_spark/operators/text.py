@@ -147,6 +147,32 @@ URL_CC_SLDS = ("co.uk", "ac.uk", "co.jp", "com.au", "com.br")
 _URL_HOST_RE = r"^[a-z][a-zA-Z0-9+.\-]*://([^/?#]+)"
 
 
+def host_sql_expr(e: str) -> str:
+    """DuckDB mirror of ``url_host_col`` applied to SQL expression
+    ``e`` — GENERATED from ``_URL_HOST_RE``. The ONE place the host
+    identity is rendered to SQL (consumed by the blocklist and every
+    webgraph oracle)."""
+    return (
+        "regexp_replace(regexp_replace(lower(regexp_extract("
+        f"{e}, '{_URL_HOST_RE}', 1)), '^[^@]*@', ''), ':[0-9]+$', '')"
+    )
+
+
+def registrable_domain_sql_expr(h: str) -> str:
+    """DuckDB mirror of ``url_registrable_domain_col`` applied to host
+    expression ``h`` — GENERATED from ``URL_CC_SLDS``. Inline (no CTE)
+    so it can live inside a list lambda; DuckDB folds the repeated
+    string_split."""
+    slds = ", ".join(f"'{s}'" for s in URL_CC_SLDS)
+    lab = f"string_split({h}, '.')"
+    last2 = f"({lab}[-2] || '.' || {lab}[-1])"
+    last3 = f"({lab}[-3] || '.' || {lab}[-2] || '.' || {lab}[-1])"
+    return (
+        f"CASE WHEN len({lab}) >= 3 AND {last2} IN ({slds}) THEN {last3} "
+        f"WHEN len({lab}) >= 2 THEN {last2} ELSE {h} END"
+    )
+
+
 def url_host_col(url: Column) -> Column:
     """Lowercased host of a URL: the authority component minus userinfo
     and port. No scheme -> '' (regexp_extract's no-match value in BOTH
@@ -232,30 +258,21 @@ def domain_blocklist_oracle_sql(
     source: str = "SELECT doc_id, url FROM documents",
 ) -> str:
     """DuckDB mirror of ``domain_blocklist_filter`` (literal-list
-    variant), GENERATED from the same ``URL_CC_SLDS``/regex tables.
-    ``source`` is the (doc_id, url) relation."""
-    slds = ", ".join(f"'{s}'" for s in URL_CC_SLDS)
+    variant), GENERATED from the shared ``host_sql_expr`` /
+    ``registrable_domain_sql_expr`` generators (one SQL rendering of
+    the URL identity, shared with the webgraph oracles). ``source`` is
+    the (doc_id, url) relation."""
     bl = ", ".join(f"'{s}'" for s in blocklist)
+    dom = registrable_domain_sql_expr("host")
     return f"""
         WITH h AS (
-          SELECT doc_id,
-            regexp_replace(regexp_replace(
-              lower(regexp_extract(url, '{_URL_HOST_RE}', 1)),
-              '^[^@]*@', ''), ':[0-9]+$', '') AS host
+          SELECT doc_id, {host_sql_expr("url")} AS host
           FROM ({source})
-        ), lab AS (
-          SELECT doc_id, host, string_split(host, '.') AS l FROM h
         )
         SELECT doc_id, host,
-          CASE WHEN len(l) >= 3 AND (l[-2] || '.' || l[-1]) IN ({slds})
-                 THEN l[-3] || '.' || l[-2] || '.' || l[-1]
-               WHEN len(l) >= 2 THEN l[-2] || '.' || l[-1]
-               ELSE host END AS domain,
-          (CASE WHEN len(l) >= 3 AND (l[-2] || '.' || l[-1]) IN ({slds})
-                  THEN l[-3] || '.' || l[-2] || '.' || l[-1]
-                WHEN len(l) >= 2 THEN l[-2] || '.' || l[-1]
-                ELSE host END) IN ({bl}) AS blocked
-        FROM lab
+          {dom} AS domain,
+          ({dom}) IN ({bl}) AS blocked
+        FROM h
     """
 
 

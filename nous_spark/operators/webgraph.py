@@ -53,6 +53,8 @@ from .text import (
     _LINK_ENTITY_STEPS,
     _URL_HOST_RE,
     URL_CC_SLDS,
+    host_sql_expr,
+    registrable_domain_sql_expr,
     url_host_col,
     url_registrable_domain_col,
 )
@@ -88,33 +90,11 @@ def _domain_col(url: Column) -> Column:
     return url_registrable_domain_col(url_host_col(url))
 
 
-def _host_sql(e: str) -> str:
-    """DuckDB mirror of ``url_host_col`` applied to expression ``e`` —
-    GENERATED from the same ``_URL_HOST_RE`` (shared-table convention:
-    edit the regex in text.py, never this SQL)."""
-    return (
-        "regexp_replace(regexp_replace(lower(regexp_extract("
-        f"{e}, '{_URL_HOST_RE}', 1)), '^[^@]*@', ''), ':[0-9]+$', '')"
-    )
-
-
-def _domain_sql(h: str) -> str:
-    """DuckDB mirror of ``url_registrable_domain_col`` applied to host
-    expression ``h`` — GENERATED from ``URL_CC_SLDS``. Inline (no CTE)
-    so it can live inside a list lambda; DuckDB folds the repeated
-    string_split."""
-    slds = ", ".join(f"'{s}'" for s in URL_CC_SLDS)
-    lab = f"string_split({h}, '.')"
-    last2 = f"({lab}[-2] || '.' || {lab}[-1])"
-    last3 = f"({lab}[-3] || '.' || {lab}[-2] || '.' || {lab}[-1])"
-    return (
-        f"CASE WHEN len({lab}) >= 3 AND {last2} IN ({slds}) THEN {last3} "
-        f"WHEN len({lab}) >= 2 THEN {last2} ELSE {h} END"
-    )
-
-
 def _url_domain_sql(e: str) -> str:
-    return _domain_sql(_host_sql(e))
+    """Registrable domain of a URL expression, rendered to DuckDB SQL
+    via the shared ``text.py`` generators (the one SQL rendering of the
+    URL identity, shared with ``domain_blocklist_oracle_sql``)."""
+    return registrable_domain_sql_expr(host_sql_expr(e))
 
 
 # ------------------------------------------------ anchor-text profiles
@@ -153,6 +133,13 @@ def anchor_text_profiles(
     window exchange regardless of a mega-URL's anchor fan-in). The
     final href-keyed left join is between two already-aggregated
     frames. No pair generation anywhere, so no hot-key cap applies.
+
+    The links relation is consumed TWICE (rollup + anchor counts) and
+    is deliberately NOT persisted here: at web scale it is a
+    materialized table (two cheap scans), and caching a 10^10-row edge
+    list would evict far more useful state. Callers feeding a DERIVED
+    frame (e.g. html_links over raw pages) should persist it first if
+    the extraction is expensive.
     """
     base = links.select(
         F.col(id_col).alias("_src"),
@@ -450,7 +437,7 @@ def link_quality_signals_oracle_sql(
         f"trim(regexp_replace({anchor_e}, '[ \\t\\r\\n]+', ' ', 'g'), ' ')"
     )
     link_re = _HTML_LINK_RE.replace("'", "''")
-    dom_of_href = _domain_sql(_host_sql(href_e))
+    dom_of_href = registrable_domain_sql_expr(host_sql_expr(href_e))
     page_dom = _url_domain_sql("coalesce(url, '')")
     return f"""
         WITH base AS (
